@@ -1,0 +1,218 @@
+"""Frozen dataclass configs + the five driver presets.
+
+The presets mirror BASELINE.json ``configs`` (lines 6-12):
+
+1. ``didemo_rgb``      — DiDeMo, RGB-only, 21 proposals, triplet ranking
+                         (CPU-runnable).
+2. ``didemo_fusion``   — two-stream RGB + optical flow with TEF concat.
+3. ``charades_sta``    — Charades-STA multi-scale sliding-window proposals.
+4. ``corpus_didemo``   — corpus-level retrieval: inter-video negatives with
+                         the full query x corpus similarity matrix sharded
+                         over ICI.
+5. ``serving_10k``     — large-scale serving: cached moment-embedding index,
+                         batched top-k over a 10k-video corpus.
+
+Every modeling choice the MCN family leaves ambiguous (distance sign, pooling
+variant, GT aggregation) is an explicit flag so a later session can flip it
+for parity against the real reference if it ever materializes (SURVEY.md §7).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from dataclasses import dataclass, field
+from typing import Any, Dict, Optional, Tuple
+
+
+@dataclass(frozen=True)
+class DataConfig:
+    dataset: str = "didemo"           # "didemo" | "charades_sta" | "synthetic"
+    data_dir: str = "data/didemo"
+    # DiDeMo clip structure: <=30 s video -> 6 clips of 5 s.
+    num_clips: int = 6
+    clip_seconds: float = 5.0
+    # Charades-STA sliding windows: window lengths (seconds) and stride ratio.
+    window_scales: Tuple[float, ...] = (12.0, 18.0, 24.0)
+    window_stride_ratio: float = 0.25   # stride = ratio * window length
+    max_windows: int = 64               # pad/mask budget for variable counts
+    max_duration: float = 40.0          # Charades clip-feature grid horizon
+    feature_seconds: float = 1.0        # Charades: one feature row per second
+    # Query tokenization.
+    max_query_len: int = 24
+    glove_dim: int = 300
+    vocab_size: int = 8192              # cap; real vocab built from data
+    # Feature streams.
+    feature_dim: int = 2048             # ResNet-152 pool5
+    use_flow: bool = False
+    # Synthetic fixture (no real data in this environment).
+    synthetic_num_videos: int = 64
+    synthetic_num_queries: int = 256
+    synthetic_seed: int = 0
+    synthetic_noise: float = 0.1
+
+
+@dataclass(frozen=True)
+class ModelConfig:
+    joint_dim: int = 128                # joint embedding dim (lane-aligned)
+    lstm_hidden: int = 1024             # query LSTM hidden size
+    lstm_layers: int = 1
+    query_dropout: float = 0.0
+    use_tef: bool = True                # temporal endpoint features concat
+    use_global_context: bool = True     # global mean-pool branch in moments
+    pooling: str = "mean"               # "mean" | "max" segment pooling
+    distance: str = "sqeuclidean"       # "sqeuclidean" | "euclidean" | "cosine"
+    stream_weights: Tuple[float, ...] = (1.0,)   # per-stream distance fusion
+    normalize_embeddings: bool = False
+    param_dtype: str = "float32"
+    compute_dtype: str = "float32"      # "bfloat16" on TPU for MXU speed
+    use_pallas: str = "auto"            # "auto" | "always" | "never"
+
+
+@dataclass(frozen=True)
+class TrainConfig:
+    batch_size: int = 64
+    num_epochs: int = 30
+    steps_per_epoch: int = 0            # 0 = derive from dataset size
+    learning_rate: float = 1e-3
+    optimizer: str = "adam"             # "adam" | "sgd" | "adamw"
+    momentum: float = 0.9
+    weight_decay: float = 0.0
+    grad_clip_norm: float = 0.0         # 0 = off
+    margin: float = 0.1                 # triplet ranking margin
+    lambda_intra: float = 1.0
+    lambda_inter: float = 0.2
+    inter_negatives: str = "same_span"  # "same_span" | "all_spans"
+    seed: int = 42
+    checkpoint_dir: str = "checkpoints"
+    checkpoint_every_epochs: int = 1
+    keep_checkpoints: int = 3
+    log_every_steps: int = 20
+    metrics_path: str = ""              # "" = <checkpoint_dir>/metrics.jsonl
+    data_parallel: bool = False         # shard batch over mesh axis "data"
+    prefetch_depth: int = 2             # host->HBM double buffering depth
+
+
+@dataclass(frozen=True)
+class EvalConfig:
+    recall_ks: Tuple[int, ...] = (1, 5)
+    tiou_thresholds: Tuple[float, ...] = (0.5, 0.7)
+    protocol: str = "threshold"         # "threshold" | "didemo_official"
+    eval_batch_size: int = 256
+    # Corpus-level retrieval / serving.
+    corpus_shards: int = 1              # devices to shard the moment index over
+    corpus_topk: int = 100
+    corpus_query_batch: int = 128
+    corpus_num_videos: int = 0          # 0 = whole dataset
+
+
+@dataclass(frozen=True)
+class ExperimentConfig:
+    name: str = "didemo_rgb"
+    data: DataConfig = field(default_factory=DataConfig)
+    model: ModelConfig = field(default_factory=ModelConfig)
+    train: TrainConfig = field(default_factory=TrainConfig)
+    eval: EvalConfig = field(default_factory=EvalConfig)
+
+    def to_json(self) -> str:
+        return json.dumps(dataclasses.asdict(self), indent=2, sort_keys=True)
+
+    @staticmethod
+    def from_json(s: str) -> "ExperimentConfig":
+        d = json.loads(s)
+        return ExperimentConfig(
+            name=d["name"],
+            data=DataConfig(**_tuplify(DataConfig, d["data"])),
+            model=ModelConfig(**_tuplify(ModelConfig, d["model"])),
+            train=TrainConfig(**_tuplify(TrainConfig, d["train"])),
+            eval=EvalConfig(**_tuplify(EvalConfig, d["eval"])),
+        )
+
+    def replace(self, **kw) -> "ExperimentConfig":
+        return dataclasses.replace(self, **kw)
+
+
+def _tuplify(cls, d: Dict[str, Any]) -> Dict[str, Any]:
+    """JSON round-trips tuples as lists; coerce back per-field."""
+    out = {}
+    hints = {f.name: f.type for f in dataclasses.fields(cls)}
+    for k, v in d.items():
+        if k in hints and isinstance(v, list):
+            out[k] = tuple(v)
+        else:
+            out[k] = v
+    return out
+
+
+def _didemo_data(**kw) -> DataConfig:
+    return DataConfig(dataset="didemo", num_clips=6, clip_seconds=5.0, **kw)
+
+
+PRESETS: Dict[str, ExperimentConfig] = {}
+
+
+def _register(cfg: ExperimentConfig) -> ExperimentConfig:
+    PRESETS[cfg.name] = cfg
+    return cfg
+
+
+# 1. DiDeMo RGB-only (CPU-runnable slice).  [BASELINE.json:7]
+_register(ExperimentConfig(
+    name="didemo_rgb",
+    data=_didemo_data(use_flow=False),
+    model=ModelConfig(stream_weights=(1.0,), use_tef=True),
+    train=TrainConfig(),
+    eval=EvalConfig(),
+))
+
+# 2. Two-stream RGB + flow fusion with TEF.  [BASELINE.json:8]
+_register(ExperimentConfig(
+    name="didemo_fusion",
+    data=_didemo_data(use_flow=True),
+    model=ModelConfig(stream_weights=(0.5, 0.5), use_tef=True),
+    train=TrainConfig(),
+    eval=EvalConfig(),
+))
+
+# 3. Charades-STA sliding-window proposals.  [BASELINE.json:9]
+_register(ExperimentConfig(
+    name="charades_sta",
+    data=DataConfig(
+        dataset="charades_sta",
+        data_dir="data/charades",
+        window_scales=(12.0, 18.0, 24.0),
+        window_stride_ratio=0.25,
+        max_windows=64,
+        use_flow=False,
+    ),
+    model=ModelConfig(stream_weights=(1.0,), use_tef=True),
+    train=TrainConfig(margin=0.2),
+    eval=EvalConfig(tiou_thresholds=(0.5, 0.7)),
+))
+
+# 4. Corpus-level retrieval, index sharded over ICI.  [BASELINE.json:10]
+_register(ExperimentConfig(
+    name="corpus_didemo",
+    data=_didemo_data(use_flow=True),
+    model=ModelConfig(stream_weights=(0.5, 0.5), use_tef=True),
+    train=TrainConfig(lambda_inter=0.5),
+    eval=EvalConfig(corpus_shards=8, corpus_topk=100, corpus_query_batch=128),
+))
+
+# 5. Large-scale serving: cached index, batched top-k over 10k videos.
+#    [BASELINE.json:11]
+_register(ExperimentConfig(
+    name="serving_10k",
+    data=_didemo_data(use_flow=True, synthetic_num_videos=10_000,
+                      synthetic_num_queries=1024),
+    model=ModelConfig(stream_weights=(0.5, 0.5), use_tef=True,
+                      compute_dtype="bfloat16"),
+    train=TrainConfig(),
+    eval=EvalConfig(corpus_shards=8, corpus_topk=100, corpus_query_batch=256),
+))
+
+
+def get_preset(name: str) -> ExperimentConfig:
+    if name not in PRESETS:
+        raise KeyError(f"unknown preset {name!r}; have {sorted(PRESETS)}")
+    return PRESETS[name]
