@@ -1,0 +1,69 @@
+"""Precomputed clip-feature store (SURVEY.md C3).
+
+Features are frozen inputs — no video decoding, no CNN forward.  On-disk
+format: one ``.npz`` per stream (``features_rgb.npz`` / ``features_flow.npz``)
+mapping video id -> ``[num_clips, feature_dim]`` float32 (DiDeMo) or
+``[T, feature_dim]`` per-second rows (Charades).  ``.npy`` directories
+(one file per video) are also accepted — both formats are what public
+feature dumps convert to in one line.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, Iterable, Optional
+
+import numpy as np
+
+
+class FeatureStore:
+    """In-memory map video id -> feature array, with disk round-trip."""
+
+    def __init__(self, table: Dict[str, np.ndarray]):
+        self._table = {k: np.asarray(v, dtype=np.float32) for k, v in table.items()}
+
+    def __getitem__(self, video_id: str) -> np.ndarray:
+        return self._table[video_id]
+
+    def __contains__(self, video_id: str) -> bool:
+        return video_id in self._table
+
+    def __len__(self) -> int:
+        return len(self._table)
+
+    def ids(self) -> Iterable[str]:
+        return self._table.keys()
+
+    def get_padded(self, video_id: str, rows: int) -> np.ndarray:
+        """Features padded/truncated to ``rows`` rows (TPU static shapes).
+
+        Videos shorter than the grid are zero-padded; pooling matrices /
+        validity masks account for true length.
+        """
+        f = self._table[video_id]
+        out = np.zeros((rows, f.shape[1]), dtype=np.float32)
+        n = min(rows, f.shape[0])
+        out[:n] = f[:n]
+        return out
+
+    def save_npz(self, path: str) -> None:
+        os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+        np.savez_compressed(path, **self._table)
+
+    @classmethod
+    def load(cls, path: str) -> "FeatureStore":
+        """Load from a ``.npz`` file or a directory of ``<video_id>.npy``."""
+        if os.path.isdir(path):
+            table = {}
+            for fn in sorted(os.listdir(path)):
+                if fn.endswith(".npy"):
+                    table[fn[:-4]] = np.load(os.path.join(path, fn))
+            return cls(table)
+        with np.load(path) as z:
+            return cls({k: z[k] for k in z.files})
+
+    @classmethod
+    def maybe_load(cls, path: str) -> Optional["FeatureStore"]:
+        if os.path.exists(path):
+            return cls.load(path)
+        return None
