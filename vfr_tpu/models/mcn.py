@@ -1,0 +1,224 @@
+"""Two-tower joint-embedding model (SURVEY.md C8/C9/C10, MCN lineage).
+
+Query tower:  GloVe lookup -> LSTM (lax.scan, MXU GEMM per step) -> Linear
+              -> joint space R^d.
+Moment tower: per stream (rgb / flow): segment pooling expressed as the
+              static pooling-matrix matmul ``einsum('pc,bcf->bpf')`` +
+              optional global-context mean + optional TEF concat -> Linear
+              -> R^{P x d}.
+Fusion:       per-stream squared-Euclidean distances combined by fixed
+              stream weights (BASELINE.json:8 "fusion").
+
+Everything is a pure function over a params pytree — jit/grad/shard_map
+compose freely, and the whole in-batch [B, B, P] cross-distance tensor used
+for inter-video negatives is ONE MXU matmul (models.mcn.cross_distances).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, NamedTuple, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vfr_tpu.config import ModelConfig
+from vfr_tpu.ops.lstm import init_lstm_params, lstm_forward
+
+
+class Model(NamedTuple):
+    """Static model context: config + constant tables, passed alongside params."""
+    cfg: ModelConfig
+    streams: Sequence[str]            # e.g. ("rgb",) or ("rgb", "flow")
+    pool_matrix: jnp.ndarray          # [P, C] mean-pooling matrix
+    tef: Optional[jnp.ndarray]        # [P, 2] static TEF (DiDeMo) or None
+    freeze_embeddings: bool = True
+
+    @property
+    def compute_dtype(self):
+        return jnp.dtype(self.cfg.compute_dtype)
+
+
+def _linear_init(rng, in_dim, out_dim, dtype):
+    k = 1.0 / np.sqrt(in_dim)
+    w = jax.random.uniform(rng, (in_dim, out_dim), dtype, -k, k)
+    return {"w": w, "b": jnp.zeros((out_dim,), dtype)}
+
+
+def _linear(p, x, compute_dtype):
+    return (
+        jnp.dot(
+            x.astype(compute_dtype),
+            p["w"].astype(compute_dtype),
+            preferred_element_type=jnp.float32,
+        )
+        + p["b"]
+    )
+
+
+def moment_input_dim(cfg: ModelConfig, feature_dim: int) -> int:
+    d = feature_dim
+    if cfg.use_global_context:
+        d += feature_dim
+    if cfg.use_tef:
+        d += 2
+    return d
+
+
+def init_model_params(
+    rng: jax.Array,
+    model: Model,
+    glove_table: np.ndarray,          # [V, E]
+    feature_dim: int,
+) -> Dict:
+    cfg = model.cfg
+    dtype = jnp.dtype(cfg.param_dtype)
+    rng, r_lstm, r_qproj = jax.random.split(rng, 3)
+    params: Dict = {
+        "embeddings": jnp.asarray(glove_table, dtype),
+        "lstm": init_lstm_params(
+            r_lstm, glove_table.shape[1], cfg.lstm_hidden, cfg.lstm_layers,
+            dtype=dtype,
+        ),
+        "query_proj": _linear_init(r_qproj, cfg.lstm_hidden, cfg.joint_dim, dtype),
+    }
+    in_dim = moment_input_dim(cfg, feature_dim)
+    for s in model.streams:
+        rng, r = jax.random.split(rng)
+        params[f"moment_proj_{s}"] = _linear_init(r, in_dim, cfg.joint_dim, dtype)
+    return params
+
+
+def embed_queries(
+    params: Dict, model: Model, tokens: jnp.ndarray, lengths: jnp.ndarray
+) -> jnp.ndarray:
+    """tokens [B, T] int32, lengths [B] -> [B, d] float32."""
+    table = params["embeddings"]
+    if model.freeze_embeddings:
+        table = jax.lax.stop_gradient(table)
+    x = jnp.take(table, tokens, axis=0)          # [B, T, E]
+    h_last, _ = lstm_forward(params["lstm"], x, lengths, model.compute_dtype)
+    q = _linear(params["query_proj"], h_last, model.compute_dtype)
+    if model.cfg.normalize_embeddings:
+        q = q / (jnp.linalg.norm(q, axis=-1, keepdims=True) + 1e-8)
+    return q
+
+
+def _pool_segments(pool_matrix, feats, compute_dtype):
+    """[P, C] x [B, C, F] -> [B, P, F] — segment mean pooling as one matmul."""
+    return jnp.einsum(
+        "pc,bcf->bpf",
+        pool_matrix.astype(compute_dtype),
+        feats.astype(compute_dtype),
+        preferred_element_type=jnp.float32,
+    )
+
+
+def embed_moments(
+    params: Dict,
+    model: Model,
+    feats: Dict[str, jnp.ndarray],    # stream -> [B, C, F]
+    tef: Optional[jnp.ndarray] = None,        # [B, P, 2] overrides static TEF
+    context_mask: Optional[jnp.ndarray] = None,  # [B, C] valid-row mask
+    pool_matrix: Optional[jnp.ndarray] = None,   # [B?, P, C] override
+) -> Dict[str, jnp.ndarray]:
+    """Per-stream moment embeddings: stream -> [B, P, d]."""
+    cfg = model.cfg
+    cdt = model.compute_dtype
+    pm = pool_matrix if pool_matrix is not None else model.pool_matrix
+    out = {}
+    for s in model.streams:
+        f = feats[s]
+        B = f.shape[0]
+        local = _pool_segments(pm, f, cdt)                     # [B, P, F]
+        P = local.shape[1]
+        parts = [local]
+        if cfg.use_global_context:
+            if context_mask is not None:
+                m = context_mask.astype(jnp.float32)
+                g = (f * m[:, :, None]).sum(1) / (
+                    m.sum(1, keepdims=True) + 1e-6
+                )
+            else:
+                g = f.mean(axis=1)                             # [B, F]
+            parts.append(jnp.broadcast_to(g[:, None, :], local.shape))
+        if cfg.use_tef:
+            t = tef if tef is not None else model.tef
+            if t is None:
+                raise ValueError("use_tef=True but no TEF table provided")
+            if t.ndim == 2:
+                t = jnp.broadcast_to(t[None], (B, P, 2))
+            parts.append(t.astype(jnp.float32))
+        x = jnp.concatenate(parts, axis=-1)                    # [B, P, D_in]
+        m_emb = _linear(params[f"moment_proj_{s}"], x, cdt)    # [B, P, d]
+        if cfg.normalize_embeddings:
+            m_emb = m_emb / (jnp.linalg.norm(m_emb, axis=-1, keepdims=True) + 1e-8)
+        out[s] = m_emb
+    return out
+
+
+def _sq_dist(q, m):
+    """q [..., d], m [..., d] -> squared euclidean distance [...]."""
+    diff = q - m
+    return jnp.sum(diff * diff, axis=-1)
+
+
+def fused_distances(
+    model: Model,
+    q: jnp.ndarray,                       # [B, d]
+    moments: Dict[str, jnp.ndarray],      # stream -> [B, P, d]
+) -> jnp.ndarray:
+    """Fused per-proposal distance D [B, P]; smaller = better match."""
+    cfg = model.cfg
+    D = None
+    for w, s in zip(cfg.stream_weights, model.streams):
+        d_s = _stream_distance(cfg, q[:, None, :], moments[s])
+        D = w * d_s if D is None else D + w * d_s
+    return D
+
+
+def cross_distances(
+    model: Model,
+    q: jnp.ndarray,                       # [Q, d]
+    moments: Dict[str, jnp.ndarray],      # stream -> [V, P, d]
+) -> jnp.ndarray:
+    """Full query x corpus distance tensor [Q, V, P] via ONE MXU matmul per
+    stream: ||q - m||^2 = |q|^2 + |m|^2 - 2 q.m  (BASELINE.json:5,10)."""
+    cfg = model.cfg
+    cdt = model.compute_dtype
+    Q = q.shape[0]
+    out = None
+    for w, s in zip(cfg.stream_weights, model.streams):
+        m = moments[s]
+        V, P, d = m.shape
+        flat = m.reshape(V * P, d)
+        if cfg.distance == "cosine":
+            qn = q / (jnp.linalg.norm(q, axis=-1, keepdims=True) + 1e-8)
+            fn = flat / (jnp.linalg.norm(flat, axis=-1, keepdims=True) + 1e-8)
+            sim = jnp.dot(qn.astype(cdt), fn.T.astype(cdt),
+                          preferred_element_type=jnp.float32)
+            d_s = 1.0 - sim
+        else:
+            qm = jnp.dot(q.astype(cdt), flat.T.astype(cdt),
+                         preferred_element_type=jnp.float32)     # [Q, V*P]
+            q_sq = jnp.sum(q * q, axis=-1)[:, None]
+            m_sq = jnp.sum(flat * flat, axis=-1)[None, :]
+            d_s = q_sq + m_sq - 2.0 * qm
+            d_s = jnp.maximum(d_s, 0.0)
+            if cfg.distance == "euclidean":
+                d_s = jnp.sqrt(d_s + 1e-12)
+        out_s = d_s.reshape(Q, V, P)
+        out = w * out_s if out is None else out + w * out_s
+    return out
+
+
+def _stream_distance(cfg: ModelConfig, q, m):
+    if cfg.distance == "sqeuclidean":
+        return _sq_dist(q, m)
+    if cfg.distance == "euclidean":
+        return jnp.sqrt(_sq_dist(q, m) + 1e-12)
+    if cfg.distance == "cosine":
+        qn = q / (jnp.linalg.norm(q, axis=-1, keepdims=True) + 1e-8)
+        mn = m / (jnp.linalg.norm(m, axis=-1, keepdims=True) + 1e-8)
+        return 1.0 - jnp.sum(qn * mn, axis=-1)
+    raise ValueError(f"unknown distance {cfg.distance!r}")

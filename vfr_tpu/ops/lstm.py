@@ -1,0 +1,95 @@
+"""LSTM over token embeddings — `lax.scan` with batched MXU GEMMs per step.
+
+TPU-first notes (SURVEY.md §7 "hard parts"): recurrences don't batch onto
+the MXU across time, but at query scale (T <= ~30, H ~ 1024) one
+``[B, E+H] @ [E+H, 4H]`` GEMM per scan step keeps the MXU busy and XLA keeps
+the fused weights resident.  Gate layout follows torch's (i, f, g, o) chunk
+order so torch-CPU serves as an independent parity oracle
+(tests/test_lstm.py).  A Pallas VMEM-resident-weight kernel twin lives in
+ops/pallas/lstm_kernel.py; both implementations are interchangeable.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def init_lstm_params(
+    rng: jax.Array, input_dim: int, hidden: int, num_layers: int = 1,
+    forget_bias: float = 1.0, dtype=jnp.float32,
+) -> Dict[str, jnp.ndarray]:
+    """Uniform(-k, k) init with k = 1/sqrt(hidden) (torch-compatible)."""
+    params = {}
+    k = 1.0 / np.sqrt(hidden)
+    for layer in range(num_layers):
+        in_dim = input_dim if layer == 0 else hidden
+        rng, r1, r2, r3 = jax.random.split(rng, 4)
+        w_ih = jax.random.uniform(r1, (in_dim, 4 * hidden), dtype, -k, k)
+        w_hh = jax.random.uniform(r2, (hidden, 4 * hidden), dtype, -k, k)
+        b = jax.random.uniform(r3, (4 * hidden,), dtype, -k, k)
+        if forget_bias:
+            b = b.at[hidden : 2 * hidden].add(forget_bias)
+        params[f"layer{layer}"] = {"w_ih": w_ih, "w_hh": w_hh, "b": b}
+    return params
+
+
+def _cell_step(x_t, h, c, w_ih, w_hh, b, compute_dtype):
+    """One LSTM cell step; gates in torch (i, f, g, o) order."""
+    H = h.shape[-1]
+    gates = (
+        jnp.dot(x_t.astype(compute_dtype), w_ih.astype(compute_dtype),
+                preferred_element_type=jnp.float32)
+        + jnp.dot(h.astype(compute_dtype), w_hh.astype(compute_dtype),
+                  preferred_element_type=jnp.float32)
+        + b
+    )
+    i = jax.nn.sigmoid(gates[..., 0 * H : 1 * H])
+    f = jax.nn.sigmoid(gates[..., 1 * H : 2 * H])
+    g = jnp.tanh(gates[..., 2 * H : 3 * H])
+    o = jax.nn.sigmoid(gates[..., 3 * H : 4 * H])
+    c_new = f * c + i * g
+    h_new = o * jnp.tanh(c_new)
+    return h_new, c_new
+
+
+def lstm_forward(
+    params: Dict[str, Dict[str, jnp.ndarray]],
+    x: jnp.ndarray,                 # [B, T, E]
+    lengths: jnp.ndarray,           # [B] int32 (>=1)
+    compute_dtype=jnp.float32,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Returns (h_last [B, H] at each sequence's true final step, hs [B, T, H]).
+
+    Padded steps (t >= length) freeze the carry, so ``h_last`` equals the
+    hidden state after the last real token — identical to running the
+    unpadded sequence.
+    """
+    B, T, _ = x.shape
+    num_layers = len(params)
+    hs = x
+    h_last = None
+    for layer in range(num_layers):
+        p = params[f"layer{layer}"]
+        H = p["w_hh"].shape[0]
+        h0 = jnp.zeros((B, H), jnp.float32)
+        c0 = jnp.zeros((B, H), jnp.float32)
+
+        def step(carry, inp):
+            h, c = carry
+            x_t, t = inp
+            h_new, c_new = _cell_step(x_t, h, c, p["w_ih"], p["w_hh"], p["b"],
+                                      compute_dtype)
+            live = (t < lengths)[:, None]
+            h = jnp.where(live, h_new, h)
+            c = jnp.where(live, c_new, c)
+            return (h, c), h
+
+        xs = (jnp.swapaxes(hs, 0, 1), jnp.arange(T))
+        (h_fin, _), h_seq = jax.lax.scan(step, (h0, c0), xs)
+        hs = jnp.swapaxes(h_seq, 0, 1)
+        h_last = h_fin
+    return h_last, hs
