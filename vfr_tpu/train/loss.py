@@ -1,0 +1,86 @@
+"""Triplet ranking loss with intra-/inter-video negatives (SURVEY.md C11).
+
+Formulation (MCN lineage, BASELINE.json:5): with fused distance D and the
+ground-truth proposal g(b) for query b,
+
+  L_intra = mean over valid (b, p != g(b)) of  relu(margin + D[b,b,g(b)] - D[b,b,p])
+  L_inter = mean over valid (b, b')        of  relu(margin + D[b,b,g(b)] - D[b,b',n(b')])
+  L = lambda_intra * L_intra + lambda_inter * L_inter
+
+where n(b') = g(b) ("same_span" mode: the same temporal span in a different
+video) or all spans ("all_spans").  Negatives from a different query on the
+SAME video are excluded (they may describe the same moment).  Everything is
+computed from the single [B, B, P] cross-distance tensor — one MXU matmul
+per stream — with boolean masks carrying validity; no host-side negative
+sampling, no dynamic shapes (the TPU-first replacement for the reference's
+per-example sampling loop).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional, Tuple
+
+import jax.numpy as jnp
+
+from vfr_tpu.config import TrainConfig
+from vfr_tpu.models.mcn import Model, cross_distances
+
+
+def _masked_mean(x: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
+    m = mask.astype(x.dtype)
+    return jnp.sum(x * m) / jnp.maximum(jnp.sum(m), 1.0)
+
+
+def ranking_loss(
+    model: Model,
+    tcfg: TrainConfig,
+    q: jnp.ndarray,                      # [B, d]
+    moments: Dict[str, jnp.ndarray],     # stream -> [B, P, d]
+    target: jnp.ndarray,                 # [B] int32 gt proposal index
+    video_idx: jnp.ndarray,              # [B] int32 video identity
+    proposal_mask: Optional[jnp.ndarray] = None,   # [B, P] valid proposals
+) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
+    D = cross_distances(model, q, moments)          # [B, B, P]
+    B, _, P = D.shape
+    bidx = jnp.arange(B)
+
+    D_own = D[bidx, bidx]                           # [B, P] own-video distances
+    pos = D_own[bidx, target]                       # [B]
+
+    # ---- intra-video negatives: all other proposals of the query's video.
+    pmask = jnp.ones((B, P), bool) if proposal_mask is None else proposal_mask
+    intra_mask = pmask & (jnp.arange(P)[None, :] != target[:, None])
+    intra_viol = jnp.maximum(0.0, tcfg.margin + pos[:, None] - D_own)
+    l_intra = _masked_mean(intra_viol, intra_mask)
+
+    # ---- inter-video negatives.
+    diff_video = video_idx[:, None] != video_idx[None, :]        # [B, B']
+    if tcfg.inter_negatives == "same_span":
+        # D_span[b, b'] = D[b, b', g(b)] — the query's gt span on video b'.
+        D_span = jnp.take_along_axis(D, target[:, None, None], axis=2)[..., 0]
+        neg_valid = diff_video
+        if proposal_mask is not None:
+            # span g(b) must also be a valid window on video b':
+            # pmask[:, target] is [b', b] -> transpose to [b, b'].
+            neg_valid = neg_valid & pmask[:, target].T
+        inter_viol = jnp.maximum(0.0, tcfg.margin + pos[:, None] - D_span)
+        l_inter = _masked_mean(inter_viol, neg_valid)
+    elif tcfg.inter_negatives == "all_spans":
+        viol = jnp.maximum(0.0, tcfg.margin + pos[:, None, None] - D)  # [B,B',P]
+        valid = diff_video[:, :, None] & pmask[None, :, :]
+        l_inter = _masked_mean(viol, valid)
+    else:
+        raise ValueError(f"unknown inter_negatives {tcfg.inter_negatives!r}")
+
+    loss = tcfg.lambda_intra * l_intra + tcfg.lambda_inter * l_inter
+    # rank-0 accuracy on the fly: fraction where gt is the arg-min proposal
+    D_masked = jnp.where(pmask, D_own, jnp.inf)
+    acc = jnp.mean((jnp.argmin(D_masked, axis=1) == target).astype(jnp.float32))
+    aux = {
+        "loss": loss,
+        "loss_intra": l_intra,
+        "loss_inter": l_inter,
+        "pos_dist": jnp.mean(pos),
+        "train_r1": acc,
+    }
+    return loss, aux

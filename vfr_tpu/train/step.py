@@ -1,0 +1,76 @@
+"""The jitted train step: fwd + bwd + optax update in ONE compiled program.
+
+Batch assembly stays on host (numpy gathers); everything below it — query
+LSTM, moment pooling, the [B,B,P] cross-distance matmul, ranking loss,
+autodiff, optimizer — is a single XLA computation (SURVEY.md §3.1).
+
+``make_train_step(..., mesh=...)`` returns a data-parallel variant: the
+batch is sharded over the mesh's "data" axis with replicated params;
+jit + NamedSharding constraints make XLA insert the gradient psum over ICI.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from vfr_tpu.config import TrainConfig
+from vfr_tpu.models.mcn import Model, embed_moments, embed_queries
+from vfr_tpu.train.loss import ranking_loss
+
+
+def loss_from_batch(
+    params: Dict, model: Model, tcfg: TrainConfig, batch: Dict[str, jnp.ndarray]
+):
+    feats = {s: batch[s] for s in model.streams}
+    q = embed_queries(params, model, batch["tokens"], batch["lengths"])
+    m = embed_moments(
+        params, model, feats,
+        tef=batch.get("tef"),
+        context_mask=batch.get("context_mask"),
+    )
+    return ranking_loss(
+        model, tcfg, q, m,
+        target=batch["target"],
+        video_idx=batch["video_idx"],
+        proposal_mask=batch.get("window_mask"),
+    )
+
+
+def make_train_step(
+    model: Model,
+    tcfg: TrainConfig,
+    optimizer: optax.GradientTransformation,
+    mesh: Optional[jax.sharding.Mesh] = None,
+    data_axis: str = "data",
+):
+    """Returns jitted ``train_step(params, opt_state, batch) -> (params,
+    opt_state, metrics)``.  With ``mesh``, batch arrays are sharded over
+    ``data_axis`` and params/optimizer state are replicated (DP over ICI)."""
+
+    def _step(params, opt_state, batch):
+        (loss, aux), grads = jax.value_and_grad(
+            lambda p: loss_from_batch(p, model, tcfg, batch), has_aux=True
+        )(params)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        aux["grad_norm"] = optax.global_norm(grads)
+        return params, opt_state, aux
+
+    if mesh is None:
+        return jax.jit(_step, donate_argnums=(0, 1))
+
+    repl = jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec())
+    batch_sh = jax.sharding.NamedSharding(
+        mesh, jax.sharding.PartitionSpec(data_axis)
+    )
+    return jax.jit(
+        _step,
+        in_shardings=(repl, repl, batch_sh),
+        out_shardings=(repl, repl, repl),
+        donate_argnums=(0, 1),
+    )
