@@ -1,0 +1,148 @@
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from vfr_tpu.config import DataConfig, EvalConfig, ExperimentConfig, ModelConfig, TrainConfig
+from vfr_tpu.data.didemo import DidemoDataset
+from vfr_tpu.data.synthetic import make_didemo_fixture
+from vfr_tpu.eval.corpus import (
+    build_moment_index,
+    corpus_evaluate,
+    corpus_retrieval,
+    make_retriever,
+)
+from vfr_tpu.models.build import build_model
+from vfr_tpu.models.mcn import init_model_params
+from vfr_tpu.parallel.mesh import make_mesh
+from vfr_tpu.parallel.sharding import (
+    fused_corpus_distances,
+    pad_index,
+    sharded_corpus_topk,
+)
+from vfr_tpu.train.optim import make_optimizer
+from vfr_tpu.train.step import make_train_step
+
+F, E = 32, 16
+
+
+@pytest.fixture(scope="module")
+def trained():
+    fix = make_didemo_fixture(num_videos=24, num_queries=96, feature_dim=F,
+                              glove_dim=E, seed=13)
+    cfg = ExperimentConfig(
+        name="t",
+        data=DataConfig(feature_dim=F, glove_dim=E, use_flow=True),
+        model=ModelConfig(joint_dim=32, lstm_hidden=32,
+                          stream_weights=(0.5, 0.5)),
+        train=TrainConfig(learning_rate=3e-3, margin=0.2, lambda_inter=0.5),
+        eval=EvalConfig(corpus_query_batch=32, corpus_topk=10),
+    )
+    ds = DidemoDataset(fix.annotations, fix.rgb, fix.flow, fix.vocab, cfg.data)
+    model = build_model(cfg)
+    params = init_model_params(jax.random.PRNGKey(0), model, fix.glove, F)
+    opt = make_optimizer(cfg.train)
+    opt_state = opt.init(params)
+    step = make_train_step(model, cfg.train, opt)
+    for batch in ds.train_batches(batch_size=24, steps=150, seed=0):
+        params, opt_state, _ = step(params, opt_state, batch)
+    return cfg, model, params, ds
+
+
+class TestShardedTopK:
+    """Property tests: distributed top-k == single-device argsort."""
+
+    def _rand_problem(self, seed, S=2, Q=6, N=160, d=16):
+        rng = np.random.default_rng(seed)
+        q = rng.standard_normal((S, Q, d)).astype(np.float32)
+        m = rng.standard_normal((S, N, d)).astype(np.float32)
+        m_sq = (m ** 2).sum(-1)
+        w = np.array([0.6, 0.4], np.float32)[:S]
+        return jnp.asarray(q), jnp.asarray(m), jnp.asarray(m_sq), jnp.asarray(w)
+
+    @pytest.mark.parametrize("seed,k", [(0, 1), (1, 5), (2, 17), (3, 64)])
+    def test_matches_single_device(self, devices8, seed, k):
+        q, m, m_sq, w = self._rand_problem(seed)
+        mesh = make_mesh(("corpus",), devices=devices8)
+        d_sh, rows_sh = sharded_corpus_topk(mesh, q, m, m_sq, w, k)
+
+        D = np.asarray(fused_corpus_distances(q, m, m_sq, w))
+        ref_rows = np.argsort(D, axis=1, kind="stable")[:, :k]
+        ref_d = np.take_along_axis(D, ref_rows, axis=1)
+        # distances must match exactly as a set (ties may permute row ids)
+        np.testing.assert_allclose(
+            np.sort(np.asarray(d_sh), axis=1), np.sort(ref_d, axis=1),
+            rtol=1e-4, atol=1e-4,
+        )
+        # and every returned row must actually achieve its distance
+        got = np.take_along_axis(D, np.asarray(rows_sh), axis=1)
+        np.testing.assert_allclose(
+            np.sort(got, 1), np.sort(np.asarray(d_sh), 1), rtol=1e-4, atol=1e-4
+        )
+
+    def test_ties_at_shard_boundary(self, devices8):
+        """Identical rows placed in different shards must all be retrievable."""
+        S, Q, N, d = 1, 2, 80, 8
+        m = np.random.default_rng(0).standard_normal((S, N, d)).astype(np.float32)
+        m[0, 7] = m[0, 41] = m[0, 63]   # three identical rows, shards 0/4/6
+        q = m[:, 63:64, :].repeat(2, axis=1)  # queries exactly at that row
+        m_sq = (m ** 2).sum(-1)
+        w = np.ones((1,), np.float32)
+        mesh = make_mesh(("corpus",), devices=devices8)
+        d_sh, rows = sharded_corpus_topk(
+            mesh, jnp.asarray(q), jnp.asarray(m), jnp.asarray(m_sq),
+            jnp.asarray(w), k=3,
+        )
+        rows = np.asarray(rows)
+        assert {7, 41, 63} == set(rows[0].tolist())
+        np.testing.assert_allclose(np.asarray(d_sh)[0], 0.0, atol=1e-4)
+
+    def test_pad_index_rows_never_retrieved(self, devices8):
+        q, m, m_sq, w = self._rand_problem(5, N=150)  # 150 % 8 != 0
+        mesh = make_mesh(("corpus",), devices=devices8)
+        m_p, msq_p = pad_index(m, m_sq, 8)
+        assert m_p.shape[1] == 152
+        _, rows = sharded_corpus_topk(mesh, q, m_p, msq_p, w, k=20)
+        assert (np.asarray(rows) < 150).all()
+
+
+class TestCorpusRetrieval:
+    def test_index_build(self, trained):
+        cfg, model, params, ds = trained
+        index = build_moment_index(params, model, ds, batch_size=8)
+        V = ds.rgb_feats.shape[0]
+        assert index.m.shape == (2, V * 21, 32)
+        assert index.num_rows == V * 21
+        assert index.video_row.shape == (V * 21,)
+        np.testing.assert_array_equal(index.prop_idx[:21], np.arange(21))
+        assert (index.spans_sec[:, 1] > index.spans_sec[:, 0]).all()
+
+    def test_single_vs_sharded_retrieval_agree(self, trained, devices8):
+        cfg, model, params, ds = trained
+        index = build_moment_index(params, model, ds)
+        b = next(ds.eval_batches(16))
+        d1, r1 = corpus_retrieval(params, model, index, b["tokens"],
+                                  b["lengths"], k=10)
+        mesh = make_mesh(("corpus",), devices=devices8)
+        d2, r2 = corpus_retrieval(params, model, index, b["tokens"],
+                                  b["lengths"], k=10, mesh=mesh)
+        np.testing.assert_allclose(np.sort(d1, 1), np.sort(d2, 1),
+                                   rtol=1e-3, atol=1e-3)
+
+    def test_corpus_eval_beats_chance(self, trained):
+        cfg, model, params, ds = trained
+        metrics = corpus_evaluate(params, model, ds, cfg.eval)
+        V = ds.rgb_feats.shape[0]
+        # random chance of right video in top-10 rows ~ 10/(V*21) each
+        assert metrics["corpus_video_R@5"] > 0.3, metrics
+        assert metrics["corpus_R@5_tiou0.5"] <= metrics["corpus_video_R@5"]
+        assert metrics["corpus_R@1_tiou0.5"] > 0.1, metrics
+
+    def test_corpus_eval_sharded_matches(self, trained, devices8):
+        cfg, model, params, ds = trained
+        mesh = make_mesh(("corpus",), devices=devices8)
+        m1 = corpus_evaluate(params, model, ds, cfg.eval)
+        m2 = corpus_evaluate(params, model, ds, cfg.eval, mesh=mesh)
+        for key in m1:
+            np.testing.assert_allclose(m1[key], m2[key], rtol=1e-3, atol=1e-3,
+                                       err_msg=key)

@@ -1,0 +1,107 @@
+import numpy as np
+import jax
+import pytest
+
+from vfr_tpu.config import DataConfig, EvalConfig, ExperimentConfig, ModelConfig, TrainConfig
+from vfr_tpu.data.didemo import DidemoDataset
+from vfr_tpu.data.synthetic import make_didemo_fixture
+from vfr_tpu.eval.moment_eval import (
+    _best_tiou_vs_annotators,
+    _official_ranks,
+    evaluate,
+    make_scorer,
+)
+from vfr_tpu.models.build import build_model
+from vfr_tpu.models.mcn import init_model_params
+from vfr_tpu.train.optim import make_optimizer
+from vfr_tpu.train.step import make_train_step
+
+F, E = 32, 16
+
+
+@pytest.fixture(scope="module")
+def trained():
+    """A briefly-trained model on the synthetic fixture."""
+    fix = make_didemo_fixture(num_videos=16, num_queries=96, feature_dim=F,
+                              glove_dim=E, seed=7)
+    cfg = ExperimentConfig(
+        name="t",
+        data=DataConfig(feature_dim=F, glove_dim=E, use_flow=True),
+        model=ModelConfig(joint_dim=32, lstm_hidden=32,
+                          stream_weights=(0.5, 0.5)),
+        train=TrainConfig(learning_rate=3e-3, margin=0.2),
+        eval=EvalConfig(eval_batch_size=32),
+    )
+    ds = DidemoDataset(fix.annotations, fix.rgb, fix.flow, fix.vocab, cfg.data)
+    model = build_model(cfg)
+    params = init_model_params(jax.random.PRNGKey(0), model, fix.glove, F)
+    opt = make_optimizer(cfg.train)
+    opt_state = opt.init(params)
+    step = make_train_step(model, cfg.train, opt)
+    for batch in ds.train_batches(batch_size=24, steps=120, seed=0):
+        params, opt_state, _ = step(params, opt_state, batch)
+    return cfg, model, params, ds
+
+
+def test_official_ranks_vectorized():
+    # order: proposal ids best-first
+    order = np.array([[2, 0, 1, 3], [3, 1, 0, 2]])
+    gt = np.array([[0, 2, -1, -1], [2, 2, 2, -1]])
+    r = _official_ranks(order, gt)
+    # q0: ranks of props {0,2} = {1,0} -> mean of best 2 = 0.5
+    # q1: prop 2 rank=3, three annotators -> mean(3,3,3)=3
+    np.testing.assert_allclose(r, [0.5, 3.0])
+
+
+def test_best_tiou_masking():
+    pred = np.array([[[0.0, 5.0]]])            # [1,1,2]
+    gt = np.array([[[0.0, 5.0], [20.0, 25.0]]])
+    mask = np.array([[False, True]])
+    out = _best_tiou_vs_annotators(pred, gt, mask)
+    np.testing.assert_allclose(out, [[0.0]])   # perfect match masked away
+
+
+def test_eval_beats_chance_after_training(trained):
+    cfg, model, params, ds = trained
+    metrics = evaluate(params, model, ds, cfg.eval)
+    assert metrics["num_queries"] == ds.num_queries
+    # chance R@1 on 21 proposals ~= 4.8%; trained model must far exceed it
+    assert metrics["R@1_tiou0.5"] > 0.3, metrics
+    assert metrics["R@5_tiou0.5"] >= metrics["R@1_tiou0.5"]
+    assert metrics["R@1_tiou0.5"] >= metrics["R@1_tiou0.7"]
+    assert 0.0 <= metrics["mIoU"] <= 1.0
+
+
+def test_didemo_official_protocol(trained):
+    cfg, model, params, ds = trained
+    ecfg = cfg.eval.__class__(protocol="didemo_official", eval_batch_size=32)
+    metrics = evaluate(params, model, ds, ecfg)
+    assert "R@1_official" in metrics and "mIoU_official" in metrics
+    assert metrics["R@5_official"] >= metrics["R@1_official"]
+    assert metrics["R@1_official"] > 0.3
+
+
+def test_scorer_shapes(trained):
+    cfg, model, params, ds = trained
+    scorer = make_scorer(model)
+    batch = next(ds.eval_batches(8))
+    D = np.asarray(scorer(params, batch))
+    assert D.shape == (8, 21)
+    assert np.isfinite(D).all()
+
+
+def test_untrained_model_near_chance():
+    fix = make_didemo_fixture(num_videos=8, num_queries=64, feature_dim=F,
+                              glove_dim=E, seed=11)
+    cfg = ExperimentConfig(
+        name="t",
+        data=DataConfig(feature_dim=F, glove_dim=E, use_flow=False),
+        model=ModelConfig(joint_dim=16, lstm_hidden=16),
+        eval=EvalConfig(eval_batch_size=32),
+    )
+    ds = DidemoDataset(fix.annotations, fix.rgb, None, fix.vocab, cfg.data)
+    model = build_model(cfg)
+    params = init_model_params(jax.random.PRNGKey(5), model, fix.glove, F)
+    metrics = evaluate(params, model, ds, cfg.eval)
+    # untrained should be poor (not a hard bound — just sanity)
+    assert metrics["R@1_tiou0.7"] < 0.6

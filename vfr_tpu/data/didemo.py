@@ -74,6 +74,9 @@ class DidemoDataset:
         self.video_idx = np.zeros(N, dtype=np.int32)
         self.gt_spans = np.zeros((N, MAX_ANNOTATORS, 2), dtype=np.float32)
         self.gt_mask = np.zeros((N, MAX_ANNOTATORS), dtype=bool)
+        # per-annotator GT proposal index (-1 = padding) for the
+        # DiDeMo-official rank-aggregation protocol
+        self.gt_prop_idx = np.full((N, MAX_ANNOTATORS), -1, dtype=np.int32)
 
         for i, a in enumerate(annotations):
             ids, n = vocab.encode(tokenize(a["description"]), T)
@@ -93,6 +96,8 @@ class DidemoDataset:
             sec = spans_to_seconds(np.asarray(times, np.int32), cfg.clip_seconds)
             self.gt_spans[i, : len(times)] = sec
             self.gt_mask[i, : len(times)] = True
+            for a, t in enumerate(times):
+                self.gt_prop_idx[i, a] = span_index(t, C)
 
         self.num_queries = N
 
@@ -110,6 +115,7 @@ class DidemoDataset:
         if with_gt:
             b["gt_spans"] = self.gt_spans[idx]
             b["gt_mask"] = self.gt_mask[idx]
+            b["gt_prop_idx"] = self.gt_prop_idx[idx]
         return b
 
     def train_batches(

@@ -1,0 +1,6 @@
+from vfr_tpu.eval.moment_eval import evaluate, make_scorer  # noqa: F401
+from vfr_tpu.eval.corpus import (  # noqa: F401
+    build_moment_index,
+    corpus_retrieval,
+    corpus_evaluate,
+)

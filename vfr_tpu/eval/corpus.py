@@ -1,0 +1,205 @@
+"""Corpus-level retrieval (SURVEY.md C14; BASELINE.json:10-11).
+
+PASS 1 — ``build_moment_index``: embed ALL moments of ALL corpus videos once
+(jitted, batched over videos) into a cached index: per-stream rows
+``[S, V*P, d]`` + precomputed ``|m|^2`` (+inf on invalid/padded rows so they
+can never be retrieved).
+
+PASS 2 — ``corpus_retrieval``: embed a query batch, score it against the
+whole index.  Single-device: one fused-distance MXU matmul + ``lax.top_k``.
+With a mesh: the index is sharded over the "corpus" ICI axis and top-k is
+hierarchical (parallel.sharding.sharded_corpus_topk).
+
+``corpus_evaluate`` reports moment-level corpus R@k at tIoU thresholds (hit
+= a top-k row on the right video with tIoU >= thr) plus video-level R@k.
+This is the >100k proposals/query/chip/sec path bench.py measures.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vfr_tpu.config import EvalConfig
+from vfr_tpu.models.mcn import Model, embed_moments, embed_queries
+from vfr_tpu.ops.tiou import tiou
+from vfr_tpu.parallel.sharding import (
+    fused_corpus_distances,
+    pad_index,
+    sharded_corpus_topk,
+)
+
+
+@dataclass
+class MomentIndex:
+    m: jnp.ndarray           # [S, N, d] per-stream moment embeddings
+    m_sq: jnp.ndarray        # [S, N] squared norms (+inf for invalid rows)
+    video_row: np.ndarray    # [N] int32 corpus video row per index row
+    prop_idx: np.ndarray     # [N] int32 proposal index within the video
+    spans_sec: np.ndarray    # [N, 2] float32 second interval of each row
+    weights: jnp.ndarray     # [S] stream fusion weights
+
+    @property
+    def num_rows(self) -> int:
+        return int(self.m.shape[1])
+
+    @property
+    def num_videos(self) -> int:
+        return int(self.video_row.max()) + 1 if len(self.video_row) else 0
+
+
+def build_moment_index(
+    params, model: Model, dataset, batch_size: int = 128,
+    num_videos: int = 0,
+) -> MomentIndex:
+    V_all = dataset.rgb_feats.shape[0]
+    V = min(num_videos, V_all) if num_videos else V_all
+    P = dataset.num_proposals
+    is_charades = hasattr(dataset, "windows")
+
+    @jax.jit
+    def embed_block(params, feats, tef, context_mask):
+        m = embed_moments(params, model, feats, tef=tef,
+                          context_mask=context_mask)
+        stacked = jnp.stack([m[s] for s in model.streams])   # [S, B, P, d]
+        return stacked
+
+    blocks = []
+    for start in range(0, V, batch_size):
+        idx = np.arange(start, min(start + batch_size, V))
+        pad = batch_size - len(idx)
+        if pad:
+            idx = np.concatenate([idx, np.zeros(pad, idx.dtype)])
+        feats = {"rgb": dataset.rgb_feats[idx]}
+        if "flow" in model.streams:
+            feats["flow"] = dataset.flow_feats[idx]
+        tef = dataset.video_tef[idx] if is_charades else None
+        blocks.append(np.asarray(embed_block(params, feats, tef, None)))
+    all_m = np.concatenate(blocks, axis=1)[:, :V]            # [S, V, P, d]
+    S, _, _, d = all_m.shape
+    flat = all_m.reshape(S, V * P, d)
+
+    m_sq = (flat.astype(np.float64) ** 2).sum(-1).astype(np.float32)
+    video_row = np.repeat(np.arange(V, dtype=np.int32), P)
+    prop_idx = np.tile(np.arange(P, dtype=np.int32), V)
+    if is_charades:
+        spans = np.asarray(dataset.windows)                   # [P, 2]
+        spans_sec = np.tile(spans, (V, 1))
+        valid = dataset.window_mask[:V].reshape(V * P)
+        m_sq = np.where(valid, m_sq, 1e30)
+    else:
+        spans_sec = np.tile(np.asarray(dataset.span_seconds), (V, 1))
+
+    return MomentIndex(
+        m=jnp.asarray(flat),
+        m_sq=jnp.asarray(m_sq),
+        video_row=video_row,
+        prop_idx=prop_idx,
+        spans_sec=spans_sec.astype(np.float32),
+        weights=jnp.asarray(model.cfg.stream_weights, jnp.float32),
+    )
+
+
+def _embed_query_streams(params, model: Model, tokens, lengths) -> jnp.ndarray:
+    """[S, Q, d] — the query tower is shared across streams (design flag:
+    per-stream query projections are a config extension; fused distances are
+    unchanged either way)."""
+    q = embed_queries(params, model, tokens, lengths)
+    return jnp.stack([q for _ in model.streams])
+
+
+def make_retriever(
+    model: Model,
+    index: MomentIndex,
+    k: int,
+    mesh: Optional[jax.sharding.Mesh] = None,
+    axis: str = "corpus",
+):
+    """Jitted ``(params, tokens, lengths) -> (dists [Q,k], rows [Q,k])``."""
+    compute_dtype = model.compute_dtype
+
+    if mesh is None:
+        @jax.jit
+        def retrieve(params, tokens, lengths):
+            qs = _embed_query_streams(params, model, tokens, lengths)
+            D = fused_corpus_distances(qs, index.m, index.m_sq, index.weights,
+                                       compute_dtype)
+            vals, rows = jax.lax.top_k(-D, k)
+            return -vals, rows
+
+        return retrieve
+
+    ndev = mesh.shape[axis]
+    m, m_sq = pad_index(index.m, index.m_sq, ndev)
+    # index rows live sharded over ICI; queries/params replicated
+    from vfr_tpu.parallel.sharding import replicated, shard_rows
+    m = jax.device_put(m, jax.sharding.NamedSharding(
+        mesh, jax.sharding.PartitionSpec(None, axis, None)))
+    m_sq = jax.device_put(m_sq, jax.sharding.NamedSharding(
+        mesh, jax.sharding.PartitionSpec(None, axis)))
+
+    @jax.jit
+    def retrieve(params, tokens, lengths):
+        qs = _embed_query_streams(params, model, tokens, lengths)
+        return sharded_corpus_topk(
+            mesh, qs, m, m_sq, index.weights, k, axis=axis,
+            compute_dtype=compute_dtype,
+        )
+
+    return retrieve
+
+
+def corpus_retrieval(
+    params, model: Model, index: MomentIndex,
+    tokens, lengths, k: int,
+    mesh: Optional[jax.sharding.Mesh] = None,
+) -> Tuple[np.ndarray, np.ndarray]:
+    retrieve = make_retriever(model, index, k, mesh=mesh)
+    d, rows = retrieve(params, jnp.asarray(tokens), jnp.asarray(lengths))
+    return np.asarray(d), np.asarray(rows)
+
+
+def corpus_evaluate(
+    params, model: Model, dataset, ecfg: EvalConfig,
+    mesh: Optional[jax.sharding.Mesh] = None,
+) -> Dict[str, float]:
+    index = build_moment_index(
+        params, model, dataset, num_videos=ecfg.corpus_num_videos
+    )
+    ks = tuple(ecfg.recall_ks)
+    taus = tuple(ecfg.tiou_thresholds)
+    kmax = min(max(max(ks), 10), index.num_rows)
+    retrieve = make_retriever(model, index, kmax, mesh=mesh)
+
+    hits = {(k, t): 0.0 for k in ks for t in taus}
+    video_hits = {k: 0.0 for k in ks}
+    n = 0
+    for batch in dataset.eval_batches(ecfg.corpus_query_batch):
+        _, rows = retrieve(
+            params, jnp.asarray(batch["tokens"]), jnp.asarray(batch["lengths"])
+        )
+        rows = np.asarray(rows)                               # [Q, kmax]
+        valid = batch["valid"]
+        vid_ok = index.video_row[rows] == batch["video_idx"][:, None]
+        pred_spans = index.spans_sec[rows]                    # [Q, kmax, 2]
+        ious = tiou(pred_spans[:, :, None, :], batch["gt_spans"][:, None, :, :])
+        ious = np.where(batch["gt_mask"][:, None, :], ious, -1.0).max(axis=2)
+        for k in ks:
+            for t in taus:
+                hit = (vid_ok[:, :k] & (ious[:, :k] >= t)).any(axis=1)
+                hits[(k, t)] += float((hit & valid).sum())
+            video_hits[k] += float((vid_ok[:, :k].any(axis=1) & valid).sum())
+        n += int(valid.sum())
+
+    out: Dict[str, float] = {"corpus_num_rows": float(index.num_rows)}
+    for k in ks:
+        for t in taus:
+            out[f"corpus_R@{k}_tiou{t}"] = hits[(k, t)] / max(n, 1)
+        out[f"corpus_video_R@{k}"] = video_hits[k] / max(n, 1)
+    out["num_queries"] = float(n)
+    return out
