@@ -1,0 +1,150 @@
+"""End-to-end integration: train loop, resume, CLI drivers (SURVEY §4.5)."""
+
+import dataclasses
+import json
+import os
+
+import numpy as np
+import pytest
+
+from vfr_tpu.config import DataConfig, EvalConfig, ExperimentConfig, ModelConfig, TrainConfig
+
+
+def _tiny_cfg(tmp_path, epochs=3, dataset="didemo", use_flow=False):
+    return ExperimentConfig(
+        name="tiny",
+        data=DataConfig(
+            dataset=dataset,
+            data_dir=str(tmp_path / "nodata"),
+            feature_dim=32,
+            glove_dim=16,
+            use_flow=use_flow,
+            synthetic_num_videos=12,
+            synthetic_num_queries=48,
+        ),
+        model=ModelConfig(joint_dim=16, lstm_hidden=16,
+                          stream_weights=(1.0,) if not use_flow else (0.5, 0.5)),
+        train=TrainConfig(
+            batch_size=12,
+            num_epochs=epochs,
+            learning_rate=3e-3,
+            margin=0.2,
+            checkpoint_dir=str(tmp_path / "ckpt"),
+            log_every_steps=2,
+            seed=0,
+        ),
+        eval=EvalConfig(eval_batch_size=16),
+    )
+
+
+def test_train_loop_end_to_end(tmp_path):
+    from vfr_tpu.train.loop import train
+
+    cfg = _tiny_cfg(tmp_path, epochs=8)
+    params, metrics = train(cfg)
+    # loss must be finite, eval above chance (1/21 ~ 4.8%)
+    assert metrics["R@1_tiou0.5"] > 0.2, metrics
+    # checkpoint written
+    assert any(f.endswith(".msgpack") for f in os.listdir(cfg.train.checkpoint_dir))
+    # metrics JSONL written with train and eval records
+    mpath = os.path.join(cfg.train.checkpoint_dir, "metrics.jsonl")
+    tags = {json.loads(l)["tag"] for l in open(mpath)}
+    assert {"train", "eval"} <= tags
+
+
+def test_train_resume_continues(tmp_path):
+    from vfr_tpu.train.loop import train
+    from vfr_tpu.train.checkpoint import latest_checkpoint
+
+    cfg = _tiny_cfg(tmp_path, epochs=2)
+    train(cfg)
+    ck1 = latest_checkpoint(cfg.train.checkpoint_dir)
+    step1 = int(ck1.split("_")[-1].split(".")[0])
+
+    cfg2 = dataclasses.replace(
+        cfg, train=dataclasses.replace(cfg.train, num_epochs=4)
+    )
+    train(cfg2, resume=True)
+    ck2 = latest_checkpoint(cfg.train.checkpoint_dir)
+    step2 = int(ck2.split("_")[-1].split(".")[0])
+    assert step2 == 2 * step1  # resumed, not restarted
+
+
+def test_train_loop_charades(tmp_path):
+    from vfr_tpu.train.loop import train
+
+    cfg = _tiny_cfg(tmp_path, epochs=6, dataset="charades_sta")
+    cfg = dataclasses.replace(
+        cfg,
+        data=dataclasses.replace(cfg.data, max_windows=64,
+                                 window_scales=(12.0, 18.0, 24.0)),
+    )
+    params, metrics = train(cfg)
+    assert np.isfinite(metrics["mIoU"])
+    assert metrics["R@5_tiou0.5"] > 0.2, metrics
+
+
+def test_data_parallel_loop_matches_single(tmp_path, devices8):
+    """DP over the 8-device virtual mesh must train to similar metrics."""
+    from vfr_tpu.parallel.mesh import make_mesh
+    from vfr_tpu.train.loop import train
+
+    cfg = _tiny_cfg(tmp_path / "a", epochs=4)
+    cfg = dataclasses.replace(
+        cfg, train=dataclasses.replace(cfg.train, batch_size=16)
+    )
+    _, m_single = train(cfg)
+
+    cfg2 = _tiny_cfg(tmp_path / "b", epochs=4)
+    cfg2 = dataclasses.replace(
+        cfg2, train=dataclasses.replace(cfg2.train, batch_size=16)
+    )
+    mesh = make_mesh(("data",))
+    _, m_dp = train(cfg2, mesh=mesh)
+    # identical configs and seeds -> numerically close training; allow slack
+    assert abs(m_single["R@1_tiou0.5"] - m_dp["R@1_tiou0.5"]) < 0.35, (
+        m_single, m_dp
+    )
+
+
+def test_cli_train_and_eval(tmp_path, capsys, monkeypatch):
+    from vfr_tpu.cli import main
+
+    monkeypatch.chdir(tmp_path)
+    rc = main([
+        "train", "--preset", "didemo_rgb",
+        "--data-dir", str(tmp_path / "nodata"),
+        "--checkpoint-dir", str(tmp_path / "ck"),
+        "--batch-size", "12", "--epochs", "2",
+    ])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "R@1" in out
+
+    rc = main([
+        "eval", "--preset", "didemo_rgb",
+        "--data-dir", str(tmp_path / "nodata"),
+        "--checkpoint-dir", str(tmp_path / "ck"),
+    ])
+    assert rc == 0
+    assert "R@1" in capsys.readouterr().out
+
+
+def test_cli_corpus(tmp_path, capsys):
+    from vfr_tpu.cli import main
+
+    rc = main([
+        "corpus", "--preset", "corpus_didemo",
+        "--data-dir", str(tmp_path / "nodata"),
+        "--checkpoint-dir", str(tmp_path / "ck"),
+        "--shards", "8", "--topk", "10",
+    ])
+    assert rc == 0
+    assert "corpus_video_R@1" in capsys.readouterr().out
+
+
+def test_config_json_roundtrip():
+    cfg = ExperimentConfig(name="didemo_fusion")
+    s = cfg.to_json()
+    cfg2 = ExperimentConfig.from_json(s)
+    assert cfg2 == cfg

@@ -1,0 +1,140 @@
+"""CLI entry points (SURVEY.md C16/L4): train / eval / corpus.
+
+    python -m vfr_tpu.cli train  --preset didemo_fusion --epochs 20
+    python -m vfr_tpu.cli eval   --preset didemo_fusion --protocol didemo_official
+    python -m vfr_tpu.cli corpus --preset corpus_didemo --shards 8
+
+Presets are the five driver configs (BASELINE.json:6-12); any flag given on
+the command line overrides the preset.  With no real data under --data-dir
+the synthetic fixture is used (and says so).
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import sys
+
+import jax
+
+from vfr_tpu.config import PRESETS, get_preset
+from vfr_tpu.utils.logging import MetricsLogger
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="vfr_tpu", description=__doc__)
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    def common(sp):
+        sp.add_argument("--preset", default="didemo_rgb", choices=sorted(PRESETS))
+        sp.add_argument("--data-dir", default=None)
+        sp.add_argument("--checkpoint-dir", default=None)
+        sp.add_argument("--batch-size", type=int, default=None)
+        sp.add_argument("--seed", type=int, default=None)
+        sp.add_argument("--metrics-path", default=None)
+        sp.add_argument("--compute-dtype", default=None,
+                        choices=["float32", "bfloat16"])
+
+    t = sub.add_parser("train", help="run the training loop")
+    common(t)
+    t.add_argument("--epochs", type=int, default=None)
+    t.add_argument("--lr", type=float, default=None)
+    t.add_argument("--margin", type=float, default=None)
+    t.add_argument("--resume", action="store_true")
+    t.add_argument("--data-parallel", action="store_true",
+                   help="shard the batch over all local devices")
+
+    e = sub.add_parser("eval", help="per-video localization eval")
+    common(e)
+    e.add_argument("--protocol", default=None,
+                   choices=["threshold", "didemo_official"])
+
+    c = sub.add_parser("corpus", help="corpus-level retrieval eval")
+    common(c)
+    c.add_argument("--shards", type=int, default=None,
+                   help="devices to shard the moment index over")
+    c.add_argument("--topk", type=int, default=None)
+    c.add_argument("--num-videos", type=int, default=None)
+    return p
+
+
+def apply_overrides(cfg, args):
+    data, model, train, ev = cfg.data, cfg.model, cfg.train, cfg.eval
+    if args.data_dir is not None:
+        data = dataclasses.replace(data, data_dir=args.data_dir)
+    if args.compute_dtype is not None:
+        model = dataclasses.replace(model, compute_dtype=args.compute_dtype)
+    tkw = {}
+    if args.checkpoint_dir is not None:
+        tkw["checkpoint_dir"] = args.checkpoint_dir
+    if args.batch_size is not None:
+        tkw["batch_size"] = args.batch_size
+    if args.seed is not None:
+        tkw["seed"] = args.seed
+    if args.metrics_path is not None:
+        tkw["metrics_path"] = args.metrics_path
+    if getattr(args, "epochs", None) is not None:
+        tkw["num_epochs"] = args.epochs
+    if getattr(args, "lr", None) is not None:
+        tkw["learning_rate"] = args.lr
+    if getattr(args, "margin", None) is not None:
+        tkw["margin"] = args.margin
+    if tkw:
+        train = dataclasses.replace(train, **tkw)
+    ekw = {}
+    if getattr(args, "protocol", None) is not None:
+        ekw["protocol"] = args.protocol
+    if getattr(args, "shards", None) is not None:
+        ekw["corpus_shards"] = args.shards
+    if getattr(args, "topk", None) is not None:
+        ekw["corpus_topk"] = args.topk
+    if getattr(args, "num_videos", None) is not None:
+        ekw["corpus_num_videos"] = args.num_videos
+    if ekw:
+        ev = dataclasses.replace(ev, **ekw)
+    return dataclasses.replace(cfg, data=data, model=model, train=train, eval=ev)
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    cfg = apply_overrides(get_preset(args.preset), args)
+
+    if args.cmd == "train":
+        from vfr_tpu.parallel.mesh import make_mesh
+        from vfr_tpu.train.loop import train
+
+        mesh = None
+        if args.data_parallel and len(jax.devices()) > 1:
+            mesh = make_mesh(("data",))
+        _, metrics = train(cfg, resume=args.resume, mesh=mesh)
+        print({k: round(v, 4) for k, v in metrics.items()})
+        return 0
+
+    if args.cmd == "eval":
+        from vfr_tpu.eval.moment_eval import evaluate
+        from vfr_tpu.train.loop import load_for_eval
+
+        params, model, bundle = load_for_eval(cfg)
+        metrics = evaluate(params, model, bundle.val, cfg.eval)
+        print({k: round(v, 4) for k, v in metrics.items()})
+        return 0
+
+    if args.cmd == "corpus":
+        from vfr_tpu.eval.corpus import corpus_evaluate
+        from vfr_tpu.parallel.mesh import make_mesh
+        from vfr_tpu.train.loop import load_for_eval
+
+        params, model, bundle = load_for_eval(cfg)
+        mesh = None
+        shards = cfg.eval.corpus_shards
+        if shards > 1 and len(jax.devices()) >= shards:
+            mesh = make_mesh(("corpus",), shape=(shards,))
+        metrics = corpus_evaluate(params, model, bundle.val, cfg.eval, mesh=mesh)
+        print({k: round(v, 4) for k, v in metrics.items()})
+        return 0
+
+    return 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

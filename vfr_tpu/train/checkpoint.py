@@ -1,0 +1,87 @@
+"""Checkpoint / resume (SURVEY.md C15, §5).
+
+msgpack checkpoints via ``flax.serialization``: params + optimizer state +
+step + the full experiment config JSON, one file per save, with a rolling
+retention window.  ``--resume`` restores and continues; eval/serve restore
+params only.  (Orbax is available in this image but a single-host research
+checkpoint doesn't need async/multihost machinery — this is ~40 lines and
+oracle-testable.)
+"""
+
+from __future__ import annotations
+
+import os
+import re
+from typing import Any, Dict, Optional, Tuple
+
+from flax import serialization
+
+from vfr_tpu.config import ExperimentConfig
+
+_CKPT_RE = re.compile(r"ckpt_(\d+)\.msgpack$")
+
+
+def save_checkpoint(
+    ckpt_dir: str,
+    step: int,
+    params: Any,
+    opt_state: Any,
+    config: Optional[ExperimentConfig] = None,
+    keep: int = 3,
+) -> str:
+    os.makedirs(ckpt_dir, exist_ok=True)
+    payload = {
+        "step": step,
+        "params": params,
+        "opt_state": opt_state,
+        "config_json": config.to_json() if config else "",
+    }
+    path = os.path.join(ckpt_dir, f"ckpt_{step:08d}.msgpack")
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        f.write(serialization.to_bytes(payload))
+    os.replace(tmp, path)
+    _gc(ckpt_dir, keep)
+    return path
+
+
+def latest_checkpoint(ckpt_dir: str) -> Optional[str]:
+    if not os.path.isdir(ckpt_dir):
+        return None
+    best, best_step = None, -1
+    for fn in os.listdir(ckpt_dir):
+        m = _CKPT_RE.match(fn)
+        if m and int(m.group(1)) > best_step:
+            best, best_step = os.path.join(ckpt_dir, fn), int(m.group(1))
+    return best
+
+
+def restore_checkpoint(
+    path: str, params_template: Any, opt_state_template: Any = None
+) -> Tuple[int, Any, Any, Optional[ExperimentConfig]]:
+    """Restore into the given pytree templates (shapes/dtypes from init)."""
+    with open(path, "rb") as f:
+        raw = f.read()
+    target = {
+        "step": 0,
+        "params": params_template,
+        "opt_state": opt_state_template,
+        "config_json": "",
+    }
+    payload = serialization.from_bytes(target, raw)
+    cfg = (
+        ExperimentConfig.from_json(payload["config_json"])
+        if payload["config_json"]
+        else None
+    )
+    return int(payload["step"]), payload["params"], payload["opt_state"], cfg
+
+
+def _gc(ckpt_dir: str, keep: int) -> None:
+    entries = []
+    for fn in os.listdir(ckpt_dir):
+        m = _CKPT_RE.match(fn)
+        if m:
+            entries.append((int(m.group(1)), fn))
+    for _, fn in sorted(entries)[:-keep] if keep > 0 else []:
+        os.remove(os.path.join(ckpt_dir, fn))

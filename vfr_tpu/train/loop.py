@@ -1,0 +1,129 @@
+"""Training driver (SURVEY.md C12 / §3.1): epochs, eval, checkpoint, resume.
+
+Host does batch assembly + logging; each step is one compiled XLA program.
+The prefetcher keeps ``prefetch_depth`` batches in flight (async H2D) so the
+TPU never waits on the host (BASELINE.json:5).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Dict, Optional, Tuple
+
+import jax
+import numpy as np
+
+from vfr_tpu.config import ExperimentConfig
+from vfr_tpu.data.loaders import DataBundle, load_datasets
+from vfr_tpu.data.prefetch import Prefetcher
+from vfr_tpu.eval.moment_eval import evaluate
+from vfr_tpu.models.build import build_model
+from vfr_tpu.models.mcn import init_model_params
+from vfr_tpu.train.checkpoint import (
+    latest_checkpoint,
+    restore_checkpoint,
+    save_checkpoint,
+)
+from vfr_tpu.train.optim import make_optimizer
+from vfr_tpu.train.step import make_train_step
+from vfr_tpu.utils.logging import MetricsLogger
+from vfr_tpu.utils.profiling import StepTimer
+
+
+def train(
+    cfg: ExperimentConfig,
+    bundle: Optional[DataBundle] = None,
+    resume: bool = False,
+    mesh: Optional[jax.sharding.Mesh] = None,
+    logger: Optional[MetricsLogger] = None,
+) -> Tuple[Dict, Dict[str, float]]:
+    """Run the full training loop; returns (params, final_eval_metrics)."""
+    tcfg = cfg.train
+    if bundle is None:
+        bundle = load_datasets(cfg.data)
+    ds, val_ds = bundle.train, bundle.val
+    model = build_model(cfg, dataset=ds)
+    own_logger = logger is None
+    if own_logger:
+        path = tcfg.metrics_path or f"{tcfg.checkpoint_dir}/metrics.jsonl"
+        logger = MetricsLogger(path)
+
+    params = init_model_params(
+        jax.random.PRNGKey(tcfg.seed), model, bundle.glove, bundle.feature_dim
+    )
+    opt = make_optimizer(tcfg)
+    opt_state = opt.init(params)
+    start_step = 0
+    if resume:
+        ckpt = latest_checkpoint(tcfg.checkpoint_dir)
+        if ckpt:
+            start_step, params, opt_state, _ = restore_checkpoint(
+                ckpt, params, opt_state
+            )
+            logger.log("resume", start_step, {"checkpoint": ckpt})
+
+    step_fn = make_train_step(model, tcfg, opt, mesh=mesh)
+    steps_per_epoch = tcfg.steps_per_epoch or max(
+        1, math.ceil(ds.num_queries / tcfg.batch_size)
+    )
+    total_steps = steps_per_epoch * tcfg.num_epochs
+    step = start_step
+    timer = StepTimer()
+    final_metrics: Dict[str, float] = {}
+
+    epoch0 = start_step // steps_per_epoch
+    for epoch in range(epoch0, tcfg.num_epochs):
+        batches = Prefetcher(
+            lambda e=epoch: ds.train_batches(
+                tcfg.batch_size, steps_per_epoch, seed=tcfg.seed + e
+            ),
+            depth=tcfg.prefetch_depth,
+        )
+        for batch in batches:
+            timer.start()
+            params, opt_state, aux = step_fn(params, opt_state, batch)
+            loss = float(aux["loss"])        # blocks; keeps timer honest
+            timer.stop()
+            step += 1
+            if step % tcfg.log_every_steps == 0 or step == total_steps:
+                logger.log("train", step, {
+                    "epoch": epoch,
+                    "loss": loss,
+                    "loss_intra": float(aux["loss_intra"]),
+                    "loss_inter": float(aux["loss_inter"]),
+                    "train_r1": float(aux["train_r1"]),
+                    "grad_norm": float(aux["grad_norm"]),
+                    "step_ms": 1e3 * timer.mean,
+                    "queries_per_sec": tcfg.batch_size / max(timer.mean, 1e-9),
+                })
+            if not np.isfinite(loss):
+                raise FloatingPointError(f"loss diverged at step {step}: {loss}")
+
+        metrics = evaluate(params, model, val_ds, cfg.eval)
+        logger.log("eval", step, metrics)
+        final_metrics = metrics
+        if (epoch + 1) % tcfg.checkpoint_every_epochs == 0 or epoch == tcfg.num_epochs - 1:
+            save_checkpoint(
+                tcfg.checkpoint_dir, step, params, opt_state, cfg,
+                keep=tcfg.keep_checkpoints,
+            )
+
+    if own_logger:
+        logger.close()
+    return params, final_metrics
+
+
+def load_for_eval(cfg: ExperimentConfig, bundle: Optional[DataBundle] = None):
+    """Restore the latest checkpoint for eval/serving; returns
+    (params, model, bundle)."""
+    if bundle is None:
+        bundle = load_datasets(cfg.data)
+    model = build_model(cfg, dataset=bundle.train)
+    params = init_model_params(
+        jax.random.PRNGKey(cfg.train.seed), model, bundle.glove,
+        bundle.feature_dim,
+    )
+    ckpt = latest_checkpoint(cfg.train.checkpoint_dir)
+    if ckpt:
+        _, params, _, _ = restore_checkpoint(ckpt, params, None)
+    return params, model, bundle
