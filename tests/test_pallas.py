@@ -1,0 +1,73 @@
+"""Pallas kernel parity vs jnp twins — interpret mode on CPU (SURVEY §4.3).
+
+On the real TPU the same tests run compiled (bench.py exercises that path);
+here the interpreter validates kernel semantics device-independently.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from vfr_tpu.ops.lstm import init_lstm_params, lstm_forward
+from vfr_tpu.ops.pallas.distance_kernel import pallas_fused_distances
+from vfr_tpu.ops.pallas.lstm_kernel import pallas_lstm
+from vfr_tpu.parallel.sharding import fused_corpus_distances
+
+
+class TestDistanceKernel:
+    @pytest.mark.parametrize("S,Q,N,d", [(1, 4, 64, 8), (2, 8, 200, 16)])
+    def test_matches_jnp_twin(self, S, Q, N, d):
+        rng = np.random.default_rng(0)
+        q = jnp.asarray(rng.standard_normal((S, Q, d)), jnp.float32)
+        m = jnp.asarray(rng.standard_normal((S, N, d)), jnp.float32)
+        m_sq = jnp.sum(m * m, axis=-1)
+        w = (1.0,) if S == 1 else (0.6, 0.4)
+        ref = fused_corpus_distances(q, m, m_sq, jnp.asarray(w))
+        out = pallas_fused_distances(q, m, m_sq, w, block_q=8, block_n=64,
+                                     interpret=True)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=1e-4, atol=1e-4)
+
+    def test_unaligned_shapes_padded(self):
+        rng = np.random.default_rng(1)
+        q = jnp.asarray(rng.standard_normal((1, 5, 8)), jnp.float32)
+        m = jnp.asarray(rng.standard_normal((1, 77, 8)), jnp.float32)
+        m_sq = jnp.sum(m * m, axis=-1)
+        ref = fused_corpus_distances(q, m, m_sq, jnp.ones((1,)))
+        out = pallas_fused_distances(q, m, m_sq, (1.0,), block_q=8,
+                                     block_n=64, interpret=True)
+        assert out.shape == (5, 77)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=1e-4, atol=1e-4)
+
+
+class TestLSTMKernel:
+    @pytest.mark.parametrize("layers", [1, 2])
+    def test_matches_scan_twin(self, layers):
+        B, T, E, H = 4, 7, 12, 16
+        params = init_lstm_params(jax.random.PRNGKey(0), E, H, layers)
+        rng = np.random.default_rng(0)
+        x = jnp.asarray(rng.standard_normal((B, T, E)), jnp.float32)
+        lengths = jnp.asarray(np.array([7, 3, 1, 5], np.int32))
+
+        ref_last, ref_hs = lstm_forward(params, x, lengths)
+        out_last, out_hs = pallas_lstm(params, x, lengths, interpret=True, weights_dtype=jnp.float32)
+        np.testing.assert_allclose(np.asarray(out_last), np.asarray(ref_last),
+                                   rtol=1e-4, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(out_hs), np.asarray(ref_hs),
+                                   rtol=1e-4, atol=1e-5)
+
+    def test_padding_freeze_semantics(self):
+        """Beyond each sequence's length the carried h must stay frozen."""
+        B, T, E, H = 2, 6, 8, 12
+        params = init_lstm_params(jax.random.PRNGKey(1), E, H)
+        x = jnp.asarray(
+            np.random.default_rng(1).standard_normal((B, T, E)), jnp.float32
+        )
+        lengths = jnp.asarray(np.array([3, 6], np.int32))
+        _, hs = pallas_lstm(params, x, lengths, interpret=True, weights_dtype=jnp.float32)
+        hs = np.asarray(hs)
+        # rows t >= length repeat h[length-1]
+        np.testing.assert_allclose(hs[0, 3], hs[0, 2], atol=1e-6)
+        np.testing.assert_allclose(hs[0, 5], hs[0, 2], atol=1e-6)

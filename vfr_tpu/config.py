@@ -67,6 +67,7 @@ class ModelConfig:
     param_dtype: str = "float32"
     compute_dtype: str = "float32"      # "bfloat16" on TPU for MXU speed
     use_pallas: str = "auto"            # "auto" | "always" | "never"
+    moment_impl: str = "factored"       # "factored" (TPU-first) | "direct"
 
 
 @dataclass(frozen=True)

@@ -109,7 +109,7 @@ def _embed_query_streams(params, model: Model, tokens, lengths) -> jnp.ndarray:
     """[S, Q, d] — the query tower is shared across streams (design flag:
     per-stream query projections are a config extension; fused distances are
     unchanged either way)."""
-    q = embed_queries(params, model, tokens, lengths)
+    q = embed_queries(params, model, tokens, lengths, inference=True)
     return jnp.stack([q for _ in model.streams])
 
 
@@ -124,11 +124,21 @@ def make_retriever(
     compute_dtype = model.compute_dtype
 
     if mesh is None:
+        from vfr_tpu.models.mcn import use_pallas
+        from vfr_tpu.ops.pallas.distance_kernel import pallas_fused_distances
+
+        pallas_on = use_pallas(model.cfg)
+        w_tuple = tuple(float(w) for w in model.cfg.stream_weights)
+
         @jax.jit
         def retrieve(params, tokens, lengths):
             qs = _embed_query_streams(params, model, tokens, lengths)
-            D = fused_corpus_distances(qs, index.m, index.m_sq, index.weights,
-                                       compute_dtype)
+            if pallas_on:
+                D = pallas_fused_distances(qs, index.m, index.m_sq, w_tuple,
+                                           compute_dtype=compute_dtype)
+            else:
+                D = fused_corpus_distances(qs, index.m, index.m_sq,
+                                           index.weights, compute_dtype)
             vals, rows = jax.lax.top_k(-D, k)
             return -vals, rows
 

@@ -1,0 +1,147 @@
+"""Pallas LSTM: weights VMEM-resident across ALL timesteps (BASELINE.json:5).
+
+Grid = (T,).  The weight blocks use constant index maps, so Pallas DMAs them
+into VMEM once and reuses them for every step — the guarantee `lax.scan`
+cannot make.  The recurrent state (h, c) lives in VMEM scratch, which
+persists across sequential TPU grid steps; per step the kernel runs the two
+gate GEMMs on the MXU and the gate nonlinearities on the VPU.  Padded steps
+(t >= length) freeze the carry, matching ops.lstm.lstm_forward exactly
+(parity-tested in tests/test_pallas.py, incl. vs the torch oracle chain).
+
+Used on inference paths (eval / serving / bench); training differentiates
+through the lax.scan twin.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _kernel(x_ref, len_ref, wih_ref, whh_ref, b_ref, hlast_ref, hs_ref,
+            h_scr, c_scr, *, compute_dtype):
+    t = pl.program_id(0)
+    T = pl.num_programs(0)
+    H = h_scr.shape[1]
+
+    @pl.when(t == 0)
+    def _():
+        h_scr[:] = jnp.zeros_like(h_scr)
+        c_scr[:] = jnp.zeros_like(c_scr)
+
+    x_t = x_ref[0]                                         # [B, E] (time-major)
+    w_dt = wih_ref.dtype                                   # weights as stored
+    gates = (
+        jax.lax.dot_general(
+            x_t.astype(w_dt), wih_ref[:],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        + jax.lax.dot_general(
+            h_scr[:].astype(w_dt), whh_ref[:],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        + b_ref[0, :][None, :]
+    )                                                      # [B, 4H]
+    i = jax.nn.sigmoid(gates[:, 0 * H : 1 * H])
+    f = jax.nn.sigmoid(gates[:, 1 * H : 2 * H])
+    g = jnp.tanh(gates[:, 2 * H : 3 * H])
+    o = jax.nn.sigmoid(gates[:, 3 * H : 4 * H])
+    c_new = f * c_scr[:] + i * g
+    h_new = o * jnp.tanh(c_new)
+
+    live = t < len_ref[:]                                  # [B, 1]
+    h_scr[:] = jnp.where(live, h_new, h_scr[:])
+    c_scr[:] = jnp.where(live, c_new, c_scr[:])
+    hs_ref[0] = h_scr[:]
+
+    @pl.when(t == T - 1)
+    def _():
+        hlast_ref[:] = h_scr[:]
+
+
+def _pallas_lstm_layer(
+    x: jnp.ndarray,        # [B, T, E]
+    lengths: jnp.ndarray,  # [B] int32
+    w_ih: jnp.ndarray,     # [E, 4H]
+    w_hh: jnp.ndarray,     # [H, 4H]
+    b: jnp.ndarray,        # [4H]
+    compute_dtype,
+    interpret: bool,
+    weights_dtype=jnp.bfloat16,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    B, T, E = x.shape
+    H = w_hh.shape[0]
+    # Weights are cast once on the host side and stay VMEM-resident in that
+    # dtype: f32 [H, 4H] alone would blow the ~16 MB VMEM budget at H=1024.
+    # Gate GEMMs accumulate in f32 regardless (preferred_element_type).
+    w_ih = w_ih.astype(weights_dtype)
+    w_hh = w_hh.astype(weights_dtype)
+    x_tm = jnp.swapaxes(x, 0, 1)                 # [T, B, E] time-major
+    h_last, hs_tm = pl.pallas_call(
+        functools.partial(_kernel, compute_dtype=compute_dtype),
+        grid=(T,),
+        in_specs=[
+            pl.BlockSpec((1, B, E), lambda t: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, 1), lambda t: (0, 0), memory_space=pltpu.VMEM),
+            # constant index maps: weights stay VMEM-resident across steps
+            pl.BlockSpec((E, 4 * H), lambda t: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((H, 4 * H), lambda t: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 4 * H), lambda t: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((B, H), lambda t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, B, H), lambda t: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((B, H), jnp.float32),
+            jax.ShapeDtypeStruct((T, B, H), jnp.float32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((B, H), jnp.float32),
+            pltpu.VMEM((B, H), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * T * B * 4 * H * (E + H),
+            bytes_accessed=4 * (B * T * E + (E + H) * 4 * H + B * T * H),
+            transcendentals=5 * T * B * H,
+        ),
+        interpret=interpret,
+    )(x_tm, lengths.astype(jnp.int32).reshape(B, 1), w_ih, w_hh,
+      b.reshape(1, -1))
+    return h_last, jnp.swapaxes(hs_tm, 0, 1)
+
+
+def pallas_lstm(
+    params: Dict[str, Dict[str, jnp.ndarray]],
+    x: jnp.ndarray,
+    lengths: jnp.ndarray,
+    compute_dtype=jnp.float32,
+    interpret: bool = False,
+    weights_dtype=jnp.bfloat16,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Drop-in twin of ops.lstm.lstm_forward (multi-layer chains kernels).
+
+    ``weights_dtype`` controls the VMEM-resident weight precision (bf16
+    default — required to fit H=1024 in VMEM; pass float32 for bit-parity
+    testing at small H)."""
+    hs = x
+    h_last = None
+    for layer in range(len(params)):
+        p = params[f"layer{layer}"]
+        h_last, hs = _pallas_lstm_layer(
+            hs, lengths, p["w_ih"], p["w_hh"], p["b"], compute_dtype,
+            interpret, weights_dtype=weights_dtype,
+        )
+    return h_last, hs
