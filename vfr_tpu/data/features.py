@@ -51,8 +51,13 @@ class FeatureStore:
         np.savez_compressed(path, **self._table)
 
     @classmethod
-    def load(cls, path: str) -> "FeatureStore":
-        """Load from a ``.npz`` file or a directory of ``<video_id>.npy``."""
+    def load(cls, path: str):
+        """Load from ``.npz``, a ``<video_id>.npy`` directory, or a packed
+        ``.vfrf`` mmap file (native C++ reader, data/packed.py)."""
+        if path.endswith(".vfrf"):
+            from vfr_tpu.data.packed import PackedFeatureStore
+
+            return PackedFeatureStore(path)
         if os.path.isdir(path):
             table = {}
             for fn in sorted(os.listdir(path)):
@@ -63,7 +68,10 @@ class FeatureStore:
             return cls({k: z[k] for k in z.files})
 
     @classmethod
-    def maybe_load(cls, path: str) -> Optional["FeatureStore"]:
+    def maybe_load(cls, path: str):
         if os.path.exists(path):
             return cls.load(path)
+        vfrf = os.path.splitext(path)[0] + ".vfrf"
+        if os.path.exists(vfrf):
+            return cls.load(vfrf)
         return None

@@ -27,6 +27,14 @@ from vfr_tpu.data.glove import Vocab, load_glove, synthetic_glove
 from vfr_tpu.data.synthetic import make_charades_fixture, make_didemo_fixture
 
 
+def _load_store(data_dir: str, stream: str):
+    """Prefer the packed mmap format when present, else .npz."""
+    vfrf = os.path.join(data_dir, f"features_{stream}.vfrf")
+    if os.path.exists(vfrf):
+        return FeatureStore.load(vfrf)
+    return FeatureStore.load(os.path.join(data_dir, f"features_{stream}.npz"))
+
+
 @dataclass
 class DataBundle:
     train: object
@@ -56,7 +64,7 @@ def _load_didemo(dcfg: DataConfig) -> DataBundle:
         val_anns = (
             load_annotations(os.path.join(d, val_path)) if val_path else train_anns
         )
-        rgb = FeatureStore.load(os.path.join(d, "features_rgb.npz"))
+        rgb = _load_store(d, "rgb")
         flow = (
             FeatureStore.maybe_load(os.path.join(d, "features_flow.npz"))
             if dcfg.use_flow
@@ -108,7 +116,7 @@ def _load_charades(dcfg: DataConfig) -> DataBundle:
             if os.path.exists(test_txt)
             else train_anns
         )
-        rgb = FeatureStore.load(os.path.join(d, "features_rgb.npz"))
+        rgb = _load_store(d, "rgb")
         flow = (
             FeatureStore.maybe_load(os.path.join(d, "features_flow.npz"))
             if dcfg.use_flow
