@@ -60,6 +60,8 @@ class ModelConfig:
     query_dropout: float = 0.0
     use_tef: bool = True                # temporal endpoint features concat
     use_global_context: bool = True     # global mean-pool branch in moments
+    per_stream_query_proj: bool = False  # separate query FC per stream (MCN
+                                         # trains RGB/flow towers separately)
     pooling: str = "mean"               # "mean" | "max" segment pooling
     distance: str = "sqeuclidean"       # "sqeuclidean" | "euclidean" | "cosine"
     stream_weights: Tuple[float, ...] = (1.0,)   # per-stream distance fusion

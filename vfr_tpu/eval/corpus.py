@@ -26,7 +26,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from vfr_tpu.config import EvalConfig
-from vfr_tpu.models.mcn import Model, embed_moments, embed_queries
+from vfr_tpu.models.mcn import Model, embed_moments, embed_queries_multi
 from vfr_tpu.ops.tiou import tiou
 from vfr_tpu.parallel.sharding import (
     fused_corpus_distances,
@@ -106,11 +106,9 @@ def build_moment_index(
 
 
 def _embed_query_streams(params, model: Model, tokens, lengths) -> jnp.ndarray:
-    """[S, Q, d] — the query tower is shared across streams (design flag:
-    per-stream query projections are a config extension; fused distances are
-    unchanged either way)."""
-    q = embed_queries(params, model, tokens, lengths, inference=True)
-    return jnp.stack([q for _ in model.streams])
+    """[S, Q, d]: shared LSTM trunk; per-stream or shared projection per
+    ModelConfig.per_stream_query_proj."""
+    return embed_queries_multi(params, model, tokens, lengths, inference=True)
 
 
 def make_retriever(

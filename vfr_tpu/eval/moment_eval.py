@@ -26,7 +26,12 @@ import jax.numpy as jnp
 import numpy as np
 
 from vfr_tpu.config import EvalConfig
-from vfr_tpu.models.mcn import Model, embed_moments, embed_queries, fused_distances
+from vfr_tpu.models.mcn import (
+    Model,
+    embed_moments,
+    embed_queries_multi,
+    fused_distances,
+)
 from vfr_tpu.ops.tiou import tiou
 
 
@@ -36,7 +41,9 @@ def make_scorer(model: Model):
     @jax.jit
     def score(params, batch):
         feats = {s: batch[s] for s in model.streams}
-        q = embed_queries(params, model, batch["tokens"], batch["lengths"])
+        q = embed_queries_multi(
+            params, model, batch["tokens"], batch["lengths"], inference=True
+        )
         m = embed_moments(
             params, model, feats,
             tef=batch.get("tef"),

@@ -80,8 +80,17 @@ def init_model_params(
             r_lstm, glove_table.shape[1], cfg.lstm_hidden, cfg.lstm_layers,
             dtype=dtype,
         ),
-        "query_proj": _linear_init(r_qproj, cfg.lstm_hidden, cfg.joint_dim, dtype),
     }
+    if cfg.per_stream_query_proj:
+        for s in model.streams:
+            rng, r = jax.random.split(rng)
+            params[f"query_proj_{s}"] = _linear_init(
+                r, cfg.lstm_hidden, cfg.joint_dim, dtype
+            )
+    else:
+        params["query_proj"] = _linear_init(
+            r_qproj, cfg.lstm_hidden, cfg.joint_dim, dtype
+        )
     in_dim = moment_input_dim(cfg, feature_dim)
     for s in model.streams:
         rng, r = jax.random.split(rng)
@@ -98,16 +107,11 @@ def use_pallas(cfg: ModelConfig) -> bool:
     return jax.default_backend() == "tpu"
 
 
-def embed_queries(
+def _query_hidden(
     params: Dict, model: Model, tokens: jnp.ndarray, lengths: jnp.ndarray,
-    inference: bool = False,
+    inference: bool,
 ) -> jnp.ndarray:
-    """tokens [B, T] int32, lengths [B] -> [B, d] float32.
-
-    ``inference=True`` engages the Pallas VMEM-resident-weight LSTM kernel
-    (per use_pallas dispatch); training always differentiates through the
-    lax.scan twin — the two are parity-tested interchangeable.
-    """
+    """Shared GloVe -> LSTM trunk; returns h_last [B, H]."""
     table = params["embeddings"]
     if model.freeze_embeddings:
         table = jax.lax.stop_gradient(table)
@@ -118,10 +122,57 @@ def embed_queries(
         h_last, _ = pallas_lstm(params["lstm"], x, lengths, model.compute_dtype)
     else:
         h_last, _ = lstm_forward(params["lstm"], x, lengths, model.compute_dtype)
+    return h_last
+
+
+def _maybe_normalize(cfg: ModelConfig, v: jnp.ndarray) -> jnp.ndarray:
+    if cfg.normalize_embeddings:
+        return v / (jnp.linalg.norm(v, axis=-1, keepdims=True) + 1e-8)
+    return v
+
+
+def embed_queries(
+    params: Dict, model: Model, tokens: jnp.ndarray, lengths: jnp.ndarray,
+    inference: bool = False,
+) -> jnp.ndarray:
+    """tokens [B, T] int32, lengths [B] -> [B, d] float32 (shared projection).
+
+    ``inference=True`` engages the Pallas VMEM-resident-weight LSTM kernel
+    (per use_pallas dispatch); training always differentiates through the
+    lax.scan twin — the two are parity-tested interchangeable.
+    """
+    if model.cfg.per_stream_query_proj:
+        raise ValueError(
+            "per_stream_query_proj=True: use embed_queries_multi()"
+        )
+    h_last = _query_hidden(params, model, tokens, lengths, inference)
     q = _linear(params["query_proj"], h_last, model.compute_dtype)
-    if model.cfg.normalize_embeddings:
-        q = q / (jnp.linalg.norm(q, axis=-1, keepdims=True) + 1e-8)
-    return q
+    return _maybe_normalize(model.cfg, q)
+
+
+def embed_queries_multi(
+    params: Dict, model: Model, tokens: jnp.ndarray, lengths: jnp.ndarray,
+    inference: bool = False,
+) -> jnp.ndarray:
+    """Per-stream query embeddings [S, B, d].
+
+    With the shared projection (default) all stream rows are identical; with
+    ``per_stream_query_proj`` each stream applies its own FC over the shared
+    LSTM trunk (MCN's separately-trained-towers topology)."""
+    h_last = _query_hidden(params, model, tokens, lengths, inference)
+    cfg = model.cfg
+    if cfg.per_stream_query_proj:
+        qs = [
+            _maybe_normalize(
+                cfg, _linear(params[f"query_proj_{s}"], h_last, model.compute_dtype)
+            )
+            for s in model.streams
+        ]
+        return jnp.stack(qs)
+    q = _maybe_normalize(
+        cfg, _linear(params["query_proj"], h_last, model.compute_dtype)
+    )
+    return jnp.stack([q for _ in model.streams])
 
 
 def _pool_segments(pool_matrix, feats, compute_dtype):
@@ -274,43 +325,49 @@ def _sq_dist(q, m):
 
 def fused_distances(
     model: Model,
-    q: jnp.ndarray,                       # [B, d]
+    q: jnp.ndarray,                       # [B, d] or per-stream [S, B, d]
     moments: Dict[str, jnp.ndarray],      # stream -> [B, P, d]
 ) -> jnp.ndarray:
     """Fused per-proposal distance D [B, P]; smaller = better match."""
     cfg = model.cfg
     D = None
-    for w, s in zip(cfg.stream_weights, model.streams):
-        d_s = _stream_distance(cfg, q[:, None, :], moments[s])
+    for i, (w, s) in enumerate(zip(cfg.stream_weights, model.streams)):
+        q_s = q[i] if q.ndim == 3 else q
+        d_s = _stream_distance(cfg, q_s[:, None, :], moments[s])
         D = w * d_s if D is None else D + w * d_s
     return D
 
 
 def cross_distances(
     model: Model,
-    q: jnp.ndarray,                       # [Q, d]
+    q: jnp.ndarray,                       # [Q, d] or per-stream [S, Q, d]
     moments: Dict[str, jnp.ndarray],      # stream -> [V, P, d]
 ) -> jnp.ndarray:
     """Full query x corpus distance tensor [Q, V, P] via ONE MXU matmul per
     stream: ||q - m||^2 = |q|^2 + |m|^2 - 2 q.m  (BASELINE.json:5,10)."""
     cfg = model.cfg
     cdt = model.compute_dtype
-    Q = q.shape[0]
+    per_stream_q = q.ndim == 3
+    Q = q.shape[1] if per_stream_q else q.shape[0]
     out = None
-    for w, s in zip(cfg.stream_weights, model.streams):
+    for i, (w, s) in enumerate(zip(cfg.stream_weights, model.streams)):
         m = moments[s]
+        if per_stream_q:
+            q_i = q[i]
+        else:
+            q_i = q
         V, P, d = m.shape
         flat = m.reshape(V * P, d)
         if cfg.distance == "cosine":
-            qn = q / (jnp.linalg.norm(q, axis=-1, keepdims=True) + 1e-8)
+            qn = q_i / (jnp.linalg.norm(q_i, axis=-1, keepdims=True) + 1e-8)
             fn = flat / (jnp.linalg.norm(flat, axis=-1, keepdims=True) + 1e-8)
             sim = jnp.dot(qn.astype(cdt), fn.T.astype(cdt),
                           preferred_element_type=jnp.float32)
             d_s = 1.0 - sim
         else:
-            qm = jnp.dot(q.astype(cdt), flat.T.astype(cdt),
+            qm = jnp.dot(q_i.astype(cdt), flat.T.astype(cdt),
                          preferred_element_type=jnp.float32)     # [Q, V*P]
-            q_sq = jnp.sum(q * q, axis=-1)[:, None]
+            q_sq = jnp.sum(q_i * q_i, axis=-1)[:, None]
             m_sq = jnp.sum(flat * flat, axis=-1)[None, :]
             d_s = q_sq + m_sq - 2.0 * qm
             d_s = jnp.maximum(d_s, 0.0)

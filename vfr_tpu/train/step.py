@@ -19,7 +19,7 @@ import jax.numpy as jnp
 import optax
 
 from vfr_tpu.config import TrainConfig
-from vfr_tpu.models.mcn import Model, embed_moments, embed_queries
+from vfr_tpu.models.mcn import Model, embed_moments, embed_queries_multi
 from vfr_tpu.train.loss import ranking_loss
 
 
@@ -27,7 +27,7 @@ def loss_from_batch(
     params: Dict, model: Model, tcfg: TrainConfig, batch: Dict[str, jnp.ndarray]
 ):
     feats = {s: batch[s] for s in model.streams}
-    q = embed_queries(params, model, batch["tokens"], batch["lengths"])
+    q = embed_queries_multi(params, model, batch["tokens"], batch["lengths"])
     m = embed_moments(
         params, model, feats,
         tef=batch.get("tef"),
