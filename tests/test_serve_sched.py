@@ -1,0 +1,121 @@
+"""Serving path, LR schedules, annotator target sampling."""
+
+import json
+
+import numpy as np
+import pytest
+
+from vfr_tpu.config import TrainConfig
+from vfr_tpu.train.optim import make_optimizer, make_schedule
+
+
+class TestSchedules:
+    def test_constant(self):
+        s = make_schedule(TrainConfig(learning_rate=1e-3), 100)
+        assert float(s(0)) == pytest.approx(1e-3)
+        assert float(s(99)) == pytest.approx(1e-3)
+
+    def test_cosine_decays_to_zero(self):
+        s = make_schedule(
+            TrainConfig(learning_rate=1e-3, lr_schedule="cosine"), 100
+        )
+        assert float(s(0)) == pytest.approx(1e-3)
+        assert float(s(100)) < 1e-5
+
+    def test_step_decay(self):
+        s = make_schedule(
+            TrainConfig(learning_rate=1e-3, lr_schedule="step",
+                        lr_decay_steps=10, lr_decay_rate=0.5), 100
+        )
+        assert float(s(5)) == pytest.approx(1e-3)
+        assert float(s(15)) == pytest.approx(5e-4)
+        assert float(s(25)) == pytest.approx(2.5e-4)
+
+    def test_warmup(self):
+        s = make_schedule(
+            TrainConfig(learning_rate=1e-3, warmup_steps=10), 100
+        )
+        assert float(s(0)) == pytest.approx(0.0)
+        assert float(s(5)) == pytest.approx(5e-4)
+        assert float(s(20)) == pytest.approx(1e-3)
+
+    def test_optimizers_build(self):
+        for opt_name in ("adam", "adamw", "sgd"):
+            make_optimizer(TrainConfig(optimizer=opt_name, grad_clip_norm=1.0),
+                           100)
+
+
+class TestTargetSampling:
+    def test_sampled_targets_are_annotator_spans(self):
+        from vfr_tpu.config import DataConfig
+        from vfr_tpu.data.didemo import DidemoDataset
+        from vfr_tpu.data.synthetic import make_didemo_fixture
+
+        fix = make_didemo_fixture(num_videos=6, num_queries=24, feature_dim=16,
+                                  glove_dim=8, seed=0)
+        # introduce annotator disagreement artificially
+        for a in fix.annotations:
+            a["times"] = [a["times"][0], [0, 0], [0, 1], a["times"][0]]
+        ds = DidemoDataset(
+            fix.annotations, fix.rgb, None, fix.vocab,
+            DataConfig(feature_dim=16, glove_dim=8, use_flow=False),
+        )
+        valid_targets = set(ds.gt_prop_idx[ds.gt_prop_idx >= 0].tolist())
+        seen = set()
+        for b in ds.train_batches(8, 10, seed=0, sample_targets=True):
+            for t in b["target"]:
+                assert int(t) in valid_targets
+                seen.add(int(t))
+        # with disagreement present, sampling must produce >1 distinct target
+        assert len(seen) > 1
+
+    def test_mode_targets_stable(self):
+        from vfr_tpu.config import DataConfig
+        from vfr_tpu.data.didemo import DidemoDataset
+        from vfr_tpu.data.synthetic import make_didemo_fixture
+
+        fix = make_didemo_fixture(num_videos=4, num_queries=8, feature_dim=16,
+                                  glove_dim=8, seed=1)
+        ds = DidemoDataset(
+            fix.annotations, fix.rgb, None, fix.vocab,
+            DataConfig(feature_dim=16, glove_dim=8, use_flow=False),
+        )
+        a = [b["target"].copy() for b in ds.train_batches(4, 3, seed=0)]
+        b2 = [b["target"].copy() for b in ds.train_batches(4, 3, seed=0)]
+        for x, y in zip(a, b2):
+            np.testing.assert_array_equal(x, y)
+
+
+class TestServe:
+    def test_serve_queries_end_to_end(self, tmp_path, capsys):
+        from vfr_tpu.cli import main
+
+        rc = main([
+            "train", "--preset", "didemo_rgb",
+            "--data-dir", str(tmp_path / "none"),
+            "--checkpoint-dir", str(tmp_path / "ck"),
+            "--batch-size", "12", "--epochs", "2",
+        ])
+        assert rc == 0
+        capsys.readouterr()
+
+        qfile = tmp_path / "queries.txt"
+        qfile.write_text("w0001 w0002 w0003\nsomething unseen entirely\n")
+        rc = main([
+            "serve", "--preset", "didemo_rgb",
+            "--data-dir", str(tmp_path / "none"),
+            "--checkpoint-dir", str(tmp_path / "ck"),
+            "--queries", str(qfile), "--topk", "4",
+        ])
+        assert rc == 0
+        lines = [l for l in capsys.readouterr().out.splitlines() if l.strip()]
+        assert len(lines) == 2
+        rec = json.loads(lines[0])
+        assert rec["query"] == "w0001 w0002 w0003"
+        assert len(rec["results"]) == 4
+        r0 = rec["results"][0]
+        assert set(r0) == {"video", "start", "end", "distance"}
+        assert r0["end"] > r0["start"]
+        # ranked by ascending distance
+        dists = [r["distance"] for r in rec["results"]]
+        assert dists == sorted(dists)

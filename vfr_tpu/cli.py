@@ -55,6 +55,15 @@ def build_parser() -> argparse.ArgumentParser:
                    help="devices to shard the moment index over")
     c.add_argument("--topk", type=int, default=None)
     c.add_argument("--num-videos", type=int, default=None)
+
+    s = sub.add_parser("serve", help="answer free-text queries against the "
+                       "cached moment index (one JSON line per query)")
+    common(s)
+    s.add_argument("--queries", required=True,
+                   help="text file with one query per line, or '-' for stdin")
+    s.add_argument("--shards", type=int, default=None)
+    s.add_argument("--topk", type=int, default=10)
+    s.add_argument("--num-videos", type=int, default=None)
     return p
 
 
@@ -131,6 +140,33 @@ def main(argv=None) -> int:
             mesh = make_mesh(("corpus",), shape=(shards,))
         metrics = corpus_evaluate(params, model, bundle.val, cfg.eval, mesh=mesh)
         print({k: round(v, 4) for k, v in metrics.items()})
+        return 0
+
+    if args.cmd == "serve":
+        import json
+
+        from vfr_tpu.eval.corpus import serve_queries
+        from vfr_tpu.parallel.mesh import make_mesh
+        from vfr_tpu.train.loop import load_for_eval
+
+        params, model, bundle = load_for_eval(cfg)
+        if args.queries == "-":
+            queries = [l.strip() for l in sys.stdin if l.strip()]
+        else:
+            with open(args.queries, "r", encoding="utf-8") as f:
+                queries = [l.strip() for l in f if l.strip()]
+        mesh = None
+        shards = cfg.eval.corpus_shards
+        if shards > 1 and len(jax.devices()) >= shards:
+            mesh = make_mesh(("corpus",), shape=(shards,))
+        for rec in serve_queries(
+            params, model, bundle.val, bundle.vocab, queries,
+            k=args.topk, mesh=mesh,
+            batch_size=cfg.eval.corpus_query_batch,
+            max_query_len=cfg.data.max_query_len,
+            num_videos=cfg.eval.corpus_num_videos,
+        ):
+            print(json.dumps(rec))
         return 0
 
     return 1

@@ -79,6 +79,10 @@ class TrainConfig:
     steps_per_epoch: int = 0            # 0 = derive from dataset size
     learning_rate: float = 1e-3
     optimizer: str = "adam"             # "adam" | "sgd" | "adamw"
+    lr_schedule: str = "constant"       # "constant" | "cosine" | "step"
+    warmup_steps: int = 0
+    lr_decay_steps: int = 0             # step schedule: decay every N steps
+    lr_decay_rate: float = 0.5
     momentum: float = 0.9
     weight_decay: float = 0.0
     grad_clip_norm: float = 0.0         # 0 = off
@@ -86,6 +90,8 @@ class TrainConfig:
     lambda_intra: float = 1.0
     lambda_inter: float = 0.2
     inter_negatives: str = "same_span"  # "same_span" | "all_spans"
+    target_sampling: str = "mode"       # "mode" (annotator consensus) |
+                                        # "sample" (random annotator / step)
     seed: int = 42
     checkpoint_dir: str = "checkpoints"
     checkpoint_every_epochs: int = 1

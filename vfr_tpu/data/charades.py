@@ -153,7 +153,10 @@ class CharadesSTADataset:
             b["gt_mask"] = self.gt_mask[idx]
         return b
 
-    def train_batches(self, batch_size: int, steps: int, seed: int):
+    def train_batches(self, batch_size: int, steps: int, seed: int,
+                      sample_targets: bool = False):
+        # Charades-STA has a single GT interval per query; sample_targets is
+        # accepted for interface parity and is a no-op.
         rng = np.random.default_rng(seed)
         order = rng.permutation(self.num_queries)
         pos = 0

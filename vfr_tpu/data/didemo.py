@@ -119,9 +119,14 @@ class DidemoDataset:
         return b
 
     def train_batches(
-        self, batch_size: int, steps: int, seed: int
+        self, batch_size: int, steps: int, seed: int,
+        sample_targets: bool = False,
     ) -> Iterator[Dict[str, np.ndarray]]:
-        """``steps`` shuffled batches (with-replacement epochs, fixed shape)."""
+        """``steps`` shuffled batches (with-replacement epochs, fixed shape).
+
+        ``sample_targets``: draw a random annotator's span as the training
+        target each step instead of the consensus mode (TrainConfig.
+        target_sampling="sample") — annotation-noise augmentation."""
         rng = np.random.default_rng(seed)
         order = rng.permutation(self.num_queries)
         pos = 0
@@ -131,7 +136,12 @@ class DidemoDataset:
                 pos = 0
             idx = order[pos : pos + batch_size]
             pos += batch_size
-            yield self._gather(idx, with_gt=False)
+            b = self._gather(idx, with_gt=False)
+            if sample_targets:
+                counts = self.gt_mask[idx].sum(axis=1).clip(min=1)
+                pick = rng.integers(0, counts)
+                b["target"] = self.gt_prop_idx[idx, pick].astype(np.int32)
+            yield b
 
     def eval_batches(self, batch_size: int) -> Iterator[Dict[str, np.ndarray]]:
         """All queries once; final batch padded by repetition + ``valid`` mask."""

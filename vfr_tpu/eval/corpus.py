@@ -172,6 +172,42 @@ def corpus_retrieval(
     return np.asarray(d), np.asarray(rows)
 
 
+def serve_queries(
+    params, model: Model, dataset, vocab, queries, k: int = 10,
+    mesh: Optional[jax.sharding.Mesh] = None, batch_size: int = 128,
+    max_query_len: int = 24, num_videos: int = 0,
+):
+    """Large-scale serving (BASELINE.json:11): answer free-text queries
+    against the cached moment index; returns a list of
+    ``{"query", "results": [{"video", "start", "end", "distance"}]}``."""
+    from vfr_tpu.data.glove import tokenize
+
+    index = build_moment_index(params, model, dataset, num_videos=num_videos)
+    retrieve = make_retriever(model, index, min(k, index.num_rows), mesh=mesh)
+    video_ids = dataset.video_ids
+    out = []
+    for start in range(0, len(queries), batch_size):
+        chunk = queries[start : start + batch_size]
+        toks = np.zeros((batch_size, max_query_len), np.int32)
+        lens = np.ones(batch_size, np.int32)
+        for i, text in enumerate(chunk):
+            toks[i], lens[i] = vocab.encode(tokenize(text), max_query_len)
+        d, rows = retrieve(params, jnp.asarray(toks), jnp.asarray(lens))
+        d, rows = np.asarray(d), np.asarray(rows)
+        for i, text in enumerate(chunk):
+            results = [
+                {
+                    "video": video_ids[int(index.video_row[r])],
+                    "start": float(index.spans_sec[r, 0]),
+                    "end": float(index.spans_sec[r, 1]),
+                    "distance": float(d[i, j]),
+                }
+                for j, r in enumerate(rows[i])
+            ]
+            out.append({"query": text, "results": results})
+    return out
+
+
 def corpus_evaluate(
     params, model: Model, dataset, ecfg: EvalConfig,
     mesh: Optional[jax.sharding.Mesh] = None,

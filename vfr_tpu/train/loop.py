@@ -51,7 +51,11 @@ def train(
     params = init_model_params(
         jax.random.PRNGKey(tcfg.seed), model, bundle.glove, bundle.feature_dim
     )
-    opt = make_optimizer(tcfg)
+    steps_per_epoch = tcfg.steps_per_epoch or max(
+        1, math.ceil(ds.num_queries / tcfg.batch_size)
+    )
+    total_steps = steps_per_epoch * tcfg.num_epochs
+    opt = make_optimizer(tcfg, total_steps)
     opt_state = opt.init(params)
     start_step = 0
     if resume:
@@ -63,10 +67,6 @@ def train(
             logger.log("resume", start_step, {"checkpoint": ckpt})
 
     step_fn = make_train_step(model, tcfg, opt, mesh=mesh)
-    steps_per_epoch = tcfg.steps_per_epoch or max(
-        1, math.ceil(ds.num_queries / tcfg.batch_size)
-    )
-    total_steps = steps_per_epoch * tcfg.num_epochs
     step = start_step
     timer = StepTimer()
     final_metrics: Dict[str, float] = {}
@@ -75,7 +75,8 @@ def train(
     for epoch in range(epoch0, tcfg.num_epochs):
         batches = Prefetcher(
             lambda e=epoch: ds.train_batches(
-                tcfg.batch_size, steps_per_epoch, seed=tcfg.seed + e
+                tcfg.batch_size, steps_per_epoch, seed=tcfg.seed + e,
+                sample_targets=(tcfg.target_sampling == "sample"),
             ),
             depth=tcfg.prefetch_depth,
         )

@@ -7,13 +7,37 @@ import optax
 from vfr_tpu.config import TrainConfig
 
 
-def make_optimizer(tcfg: TrainConfig) -> optax.GradientTransformation:
+def make_schedule(tcfg: TrainConfig, total_steps: int = 0):
+    base = tcfg.learning_rate
+    if tcfg.lr_schedule == "constant":
+        sched = optax.constant_schedule(base)
+    elif tcfg.lr_schedule == "cosine":
+        decay = max(total_steps - tcfg.warmup_steps, 1)
+        sched = optax.cosine_decay_schedule(base, decay_steps=decay)
+    elif tcfg.lr_schedule == "step":
+        every = tcfg.lr_decay_steps or max(total_steps // 3, 1)
+        sched = optax.exponential_decay(
+            base, transition_steps=every, decay_rate=tcfg.lr_decay_rate,
+            staircase=True,
+        )
+    else:
+        raise ValueError(f"unknown lr_schedule {tcfg.lr_schedule!r}")
+    if tcfg.warmup_steps > 0:
+        warmup = optax.linear_schedule(0.0, base, tcfg.warmup_steps)
+        sched = optax.join_schedules([warmup, sched], [tcfg.warmup_steps])
+    return sched
+
+
+def make_optimizer(
+    tcfg: TrainConfig, total_steps: int = 0
+) -> optax.GradientTransformation:
+    sched = make_schedule(tcfg, total_steps)
     if tcfg.optimizer == "adam":
-        core = optax.adam(tcfg.learning_rate)
+        core = optax.adam(sched)
     elif tcfg.optimizer == "adamw":
-        core = optax.adamw(tcfg.learning_rate, weight_decay=tcfg.weight_decay)
+        core = optax.adamw(sched, weight_decay=tcfg.weight_decay)
     elif tcfg.optimizer == "sgd":
-        core = optax.sgd(tcfg.learning_rate, momentum=tcfg.momentum)
+        core = optax.sgd(sched, momentum=tcfg.momentum)
     else:
         raise ValueError(f"unknown optimizer {tcfg.optimizer!r}")
     parts = []
