@@ -109,7 +109,7 @@ def use_pallas(cfg: ModelConfig) -> bool:
 
 def _query_hidden(
     params: Dict, model: Model, tokens: jnp.ndarray, lengths: jnp.ndarray,
-    inference: bool,
+    inference: bool, dropout_rng: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """Shared GloVe -> LSTM trunk; returns h_last [B, H]."""
     table = params["embeddings"]
@@ -122,6 +122,10 @@ def _query_hidden(
         h_last, _ = pallas_lstm(params["lstm"], x, lengths, model.compute_dtype)
     else:
         h_last, _ = lstm_forward(params["lstm"], x, lengths, model.compute_dtype)
+    rate = model.cfg.query_dropout
+    if dropout_rng is not None and rate > 0.0 and not inference:
+        keep = jax.random.bernoulli(dropout_rng, 1.0 - rate, h_last.shape)
+        h_last = jnp.where(keep, h_last / (1.0 - rate), 0.0)
     return h_last
 
 
@@ -152,14 +156,15 @@ def embed_queries(
 
 def embed_queries_multi(
     params: Dict, model: Model, tokens: jnp.ndarray, lengths: jnp.ndarray,
-    inference: bool = False,
+    inference: bool = False, dropout_rng: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """Per-stream query embeddings [S, B, d].
 
     With the shared projection (default) all stream rows are identical; with
     ``per_stream_query_proj`` each stream applies its own FC over the shared
     LSTM trunk (MCN's separately-trained-towers topology)."""
-    h_last = _query_hidden(params, model, tokens, lengths, inference)
+    h_last = _query_hidden(params, model, tokens, lengths, inference,
+                           dropout_rng)
     cfg = model.cfg
     if cfg.per_stream_query_proj:
         qs = [

@@ -73,13 +73,19 @@ def train(
 
     epoch0 = start_step // steps_per_epoch
     for epoch in range(epoch0, tcfg.num_epochs):
-        batches = Prefetcher(
-            lambda e=epoch: ds.train_batches(
+        def _epoch_batches(e=epoch):
+            for i, b in enumerate(ds.train_batches(
                 tcfg.batch_size, steps_per_epoch, seed=tcfg.seed + e,
                 sample_targets=(tcfg.target_sampling == "sample"),
-            ),
-            depth=tcfg.prefetch_depth,
-        )
+            )):
+                if cfg.model.query_dropout > 0:
+                    # raw threefry key data: (seed-derived, step-derived)
+                    b["dropout_rng"] = np.asarray(
+                        [tcfg.seed + e + 1, i + 1], np.uint32
+                    )
+                yield b
+
+        batches = Prefetcher(_epoch_batches, depth=tcfg.prefetch_depth)
         for batch in batches:
             timer.start()
             params, opt_state, aux = step_fn(params, opt_state, batch)

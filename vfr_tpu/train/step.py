@@ -24,10 +24,14 @@ from vfr_tpu.train.loss import ranking_loss
 
 
 def loss_from_batch(
-    params: Dict, model: Model, tcfg: TrainConfig, batch: Dict[str, jnp.ndarray]
+    params: Dict, model: Model, tcfg: TrainConfig,
+    batch: Dict[str, jnp.ndarray], dropout_rng=None,
 ):
     feats = {s: batch[s] for s in model.streams}
-    q = embed_queries_multi(params, model, batch["tokens"], batch["lengths"])
+    q = embed_queries_multi(
+        params, model, batch["tokens"], batch["lengths"],
+        dropout_rng=dropout_rng,
+    )
     m = embed_moments(
         params, model, feats,
         tef=batch.get("tef"),
@@ -52,9 +56,10 @@ def make_train_step(
     opt_state, metrics)``.  With ``mesh``, batch arrays are sharded over
     ``data_axis`` and params/optimizer state are replicated (DP over ICI)."""
 
-    def _step(params, opt_state, batch):
+    def _step(params, opt_state, batch, dropout_rng):
         (loss, aux), grads = jax.value_and_grad(
-            lambda p: loss_from_batch(p, model, tcfg, batch), has_aux=True
+            lambda p: loss_from_batch(p, model, tcfg, batch, dropout_rng),
+            has_aux=True,
         )(params)
         updates, opt_state = optimizer.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
@@ -62,15 +67,22 @@ def make_train_step(
         return params, opt_state, aux
 
     if mesh is None:
-        return jax.jit(_step, donate_argnums=(0, 1))
+        jitted = jax.jit(_step, donate_argnums=(0, 1))
+    else:
+        repl = jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec())
+        batch_sh = jax.sharding.NamedSharding(
+            mesh, jax.sharding.PartitionSpec(data_axis)
+        )
+        jitted = jax.jit(
+            _step,
+            in_shardings=(repl, repl, batch_sh, repl),
+            out_shardings=(repl, repl, repl),
+            donate_argnums=(0, 1),
+        )
 
-    repl = jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec())
-    batch_sh = jax.sharding.NamedSharding(
-        mesh, jax.sharding.PartitionSpec(data_axis)
-    )
-    return jax.jit(
-        _step,
-        in_shardings=(repl, repl, batch_sh),
-        out_shardings=(repl, repl, repl),
-        donate_argnums=(0, 1),
-    )
+    def step(params, opt_state, batch):
+        batch = dict(batch)
+        dropout_rng = batch.pop("dropout_rng", None)
+        return jitted(params, opt_state, batch, dropout_rng)
+
+    return step
