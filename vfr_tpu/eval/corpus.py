@@ -122,10 +122,14 @@ def make_retriever(
     compute_dtype = model.compute_dtype
 
     if mesh is None:
-        from vfr_tpu.models.mcn import use_pallas
         from vfr_tpu.ops.pallas.distance_kernel import pallas_fused_distances
+        from vfr_tpu.ops.topk import hierarchical_top_k
 
-        pallas_on = use_pallas(model.cfg)
+        # Measured on v5e (210k rows, f32): XLA's fused matmul (1.1 ms) beats
+        # the Pallas distance kernel (2.0 ms), so Pallas is opt-in here
+        # ("always") until it wins; the top-k, not the matmul, dominated the
+        # flat path (9.6 ms) — hierarchical_top_k removes that.
+        pallas_on = model.cfg.use_pallas == "always"
         w_tuple = tuple(float(w) for w in model.cfg.stream_weights)
 
         @jax.jit
@@ -137,7 +141,7 @@ def make_retriever(
             else:
                 D = fused_corpus_distances(qs, index.m, index.m_sq,
                                            index.weights, compute_dtype)
-            vals, rows = jax.lax.top_k(-D, k)
+            vals, rows = hierarchical_top_k(-D, k)
             return -vals, rows
 
         return retrieve

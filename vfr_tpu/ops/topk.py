@@ -1,0 +1,56 @@
+"""Hierarchical (chunked) top-k — exact, and far cheaper than a flat
+``lax.top_k`` over long rows on TPU.
+
+``lax.top_k`` lowers to a sort-flavored kernel whose cost grows super-
+linearly with row length: at [128, 210k], k=100 it costs ~9.6 ms on v5e
+while the distance matmul producing the scores costs ~1.1 ms.  Splitting the
+row into C chunks, taking top-min(k, chunk) per chunk (parallel, short
+sorts), and re-top-k'ing over the C*k survivors is mathematically exact —
+every global top-k element is a top-k element of its chunk — and ~6x faster
+at corpus scale.  The same scheme is what parallel.sharding uses ACROSS
+devices; this is the within-device level of the hierarchy.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+def hierarchical_top_k(
+    x: jnp.ndarray, k: int, chunk: int = 2048
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Top-k along the last axis of ``x [..., N]`` (largest first).
+
+    Returns (values [..., k], indices [..., k]) like ``jax.lax.top_k``.
+    Exact for any chunk size; pads with -inf so N need not divide evenly.
+    Falls back to flat top_k when chunking cannot help.
+    """
+    n = x.shape[-1]
+    if k >= n:
+        return jax.lax.top_k(x, min(k, n))
+    if n <= 2 * chunk or chunk <= k:
+        return jax.lax.top_k(x, k)
+
+    lead = x.shape[:-1]
+    num_chunks = -(-n // chunk)
+    pad = num_chunks * chunk - n
+    if pad:
+        fill = jnp.full(lead + (pad,), -jnp.inf, x.dtype)
+        x_p = jnp.concatenate([x, fill], axis=-1)
+    else:
+        x_p = x
+    xc = x_p.reshape(lead + (num_chunks, chunk))
+    kc = min(k, chunk)
+    vals_c, idx_c = jax.lax.top_k(xc, kc)            # [..., C, kc]
+    base = (jnp.arange(num_chunks) * chunk).reshape(
+        (1,) * len(lead) + (num_chunks, 1)
+    )
+    gidx_c = idx_c + base                            # global indices
+    cand_v = vals_c.reshape(lead + (num_chunks * kc,))
+    cand_i = gidx_c.reshape(lead + (num_chunks * kc,))
+    vals, pos = jax.lax.top_k(cand_v, k)
+    idx = jnp.take_along_axis(cand_i, pos, axis=-1)
+    return vals, idx

@@ -52,10 +52,12 @@ def fused_corpus_distances(
 
 def _local_block_topk(q, m_loc, msq_loc, weights, k, compute_dtype, axis):
     """shard_map body: local distances -> local top-k -> all-gather -> merge."""
+    from vfr_tpu.ops.topk import hierarchical_top_k
+
     D_loc = fused_corpus_distances(q, m_loc, msq_loc, weights, compute_dtype)
     n_loc = D_loc.shape[1]
     k_loc = min(k, n_loc)          # a shard can hold fewer than k rows
-    vals, idx = jax.lax.top_k(-D_loc, k_loc)              # [Q, k_loc] local best
+    vals, idx = hierarchical_top_k(-D_loc, k_loc)         # [Q, k_loc] local best
     shard = jax.lax.axis_index(axis)
     gidx = idx + shard * n_loc                            # global row ids
     # candidates ride ICI: [ndev, Q, k] each
