@@ -2,22 +2,26 @@
 """Serving-path throughput benchmark (BASELINE.json:5 target: >100k moment
 proposals scored per query per chip per second).
 
-Measures the full corpus-retrieval serving path on the cached
+Measures the full corpus-retrieval serving path against the cached
 moment-embedding index of a 10k-video corpus (210k moments, two streams,
-joint dim 128): query-batch GloVe->LSTM encode (Pallas VMEM-resident-weight
-kernel) + fused two-stream distance kernel against all index rows + top-100,
-end-to-end with block_until_ready.
+joint dim 128): query-batch GloVe->LSTM encode + fused two-stream distance
+matmuls over all index rows + hierarchical top-100.
 
-Reported value = (queries * index_rows) / wall_seconds — i.e. how many
-proposal scorings one chip sustains per second while answering queries at
-batch rate; a single query's 210k-proposal search amortizes to value/Q
-seconds.  vs_baseline = value / 100_000 (the spec floor).
+Timing methodology (vfr_tpu/utils/timing.py): on this runtime
+``block_until_ready`` does not force execution and same-buffer dispatches
+can be elided, so the loop runs INSIDE one compiled program with the loop
+index perturbing the query tokens (every iteration encodes a different
+batch), the result consumed by an irreducible reduction, execution forced
+by a scalar fetch, and a small-iteration baseline subtracted to cancel the
+fixed relay overhead.  This reports honest per-batch device time.
+
+Reported value = (queries * index_rows) / device_seconds_per_batch — the
+proposal-scoring rate one chip sustains while answering query batches.
 
 Prints ONE JSON line.
 """
 
 import json
-import time
 
 import numpy as np
 
@@ -27,60 +31,54 @@ def main():
     import jax.numpy as jnp
 
     from vfr_tpu.config import get_preset
-    from vfr_tpu.eval.corpus import MomentIndex, make_retriever
     from vfr_tpu.models.build import build_model
-    from vfr_tpu.models.mcn import init_model_params
+    from vfr_tpu.models.mcn import embed_queries_multi, init_model_params
+    from vfr_tpu.ops.topk import hierarchical_top_k
+    from vfr_tpu.parallel.sharding import fused_corpus_distances
+    from vfr_tpu.utils.timing import device_seconds_per_iter
 
     backend = jax.default_backend()
     on_tpu = backend == "tpu"
 
-    # serving_10k scale on TPU; trimmed on CPU so CI stays fast
     V = 10_000 if on_tpu else 500
     P, d, S = 21, 128, 2
     Q = 128
     K = 100
     FEAT = 2048
+    VOCAB = 4096
 
     cfg = get_preset("serving_10k")
     model = build_model(cfg)
     rng = np.random.default_rng(0)
-    glove = rng.standard_normal((4096, cfg.data.glove_dim)).astype(np.float32)
+    glove = rng.standard_normal((VOCAB, cfg.data.glove_dim)).astype(np.float32)
     params = init_model_params(jax.random.PRNGKey(0), model, glove, FEAT)
 
     N = V * P
-    index = MomentIndex(
-        m=jnp.asarray(rng.standard_normal((S, N, d)), jnp.float32),
-        m_sq=None,
-        video_row=np.repeat(np.arange(V, dtype=np.int32), P),
-        prop_idx=np.tile(np.arange(P, dtype=np.int32), V),
-        spans_sec=np.tile(
-            np.stack([np.zeros(P), np.ones(P)], -1).astype(np.float32), (V, 1)
-        ),
-        weights=jnp.asarray(cfg.model.stream_weights, jnp.float32),
+    m = jnp.asarray(rng.standard_normal((S, N, d)), jnp.float32)
+    m_sq = jnp.sum(m * m, axis=-1)
+    weights = jnp.asarray(cfg.model.stream_weights, jnp.float32)
+    compute_dtype = model.compute_dtype
+
+    base_tokens = jnp.asarray(
+        rng.integers(1, VOCAB, size=(Q, cfg.data.max_query_len)), jnp.int32
     )
-    index.m_sq = jnp.sum(index.m * index.m, axis=-1)
-
-    tokens = jnp.asarray(
-        rng.integers(1, 4096, size=(Q, cfg.data.max_query_len)), jnp.int32
+    lengths = jnp.asarray(
+        rng.integers(4, cfg.data.max_query_len + 1, Q), jnp.int32
     )
-    lengths = jnp.asarray(rng.integers(4, cfg.data.max_query_len + 1, Q),
-                          jnp.int32)
 
-    retrieve = make_retriever(model, index, K)
+    def serve_batch(i, tokens):
+        # every iteration serves a DIFFERENT query batch (token perturbation
+        # defeats execution elision; cost is identical each iteration)
+        toks = 1 + (tokens + i.astype(jnp.int32)) % (VOCAB - 1)
+        qs = embed_queries_multi(params, model, toks, lengths, inference=True)
+        D = fused_corpus_distances(qs, m, m_sq, weights, compute_dtype)
+        dists, rows = hierarchical_top_k(-D, K)
+        return dists
 
-    # warmup / compile
-    for _ in range(3):
-        dists, rows = retrieve(params, tokens, lengths)
-        jax.block_until_ready((dists, rows))
+    iters = 24 if on_tpu else 4
+    sec = device_seconds_per_iter(serve_batch, base_tokens, iters=iters)
 
-    iters = 30 if on_tpu else 5
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        dists, rows = retrieve(params, tokens, lengths)
-    jax.block_until_ready((dists, rows))
-    dt = (time.perf_counter() - t0) / iters
-
-    scored_per_sec = Q * N / dt
+    scored_per_sec = Q * N / sec
     print(json.dumps({
         "metric": "proposals_scored_per_query_per_chip_per_sec",
         "value": round(scored_per_sec, 1),
@@ -92,8 +90,9 @@ def main():
             "index_rows": N,
             "query_batch": Q,
             "topk": K,
-            "batch_latency_ms": round(1e3 * dt, 3),
-            "per_query_latency_us": round(1e6 * dt / Q, 2),
+            "batch_latency_ms": round(1e3 * sec, 3),
+            "per_query_latency_us": round(1e6 * sec / Q, 2),
+            "timing": "in-program loop, elision-proof (utils/timing.py)",
         },
     }))
 

@@ -43,6 +43,10 @@ def build_parser() -> argparse.ArgumentParser:
     t.add_argument("--resume", action="store_true")
     t.add_argument("--data-parallel", action="store_true",
                    help="shard the batch over all local devices")
+    t.add_argument("--trace-dir", default=None,
+                   help="capture a jax.profiler trace of the train loop")
+    t.add_argument("--debug-nans", action="store_true",
+                   help="enable jax_debug_nans (debug-mode sanitizer)")
 
     e = sub.add_parser("eval", help="per-video localization eval")
     common(e)
@@ -111,11 +115,15 @@ def main(argv=None) -> int:
     if args.cmd == "train":
         from vfr_tpu.parallel.mesh import make_mesh
         from vfr_tpu.train.loop import train
+        from vfr_tpu.utils.profiling import maybe_trace
 
+        if args.debug_nans:
+            jax.config.update("jax_debug_nans", True)
         mesh = None
         if args.data_parallel and len(jax.devices()) > 1:
             mesh = make_mesh(("data",))
-        _, metrics = train(cfg, resume=args.resume, mesh=mesh)
+        with maybe_trace(args.trace_dir):
+            _, metrics = train(cfg, resume=args.resume, mesh=mesh)
         print({k: round(v, 4) for k, v in metrics.items()})
         return 0
 
