@@ -55,7 +55,8 @@ class DataConfig:
 @dataclass(frozen=True)
 class ModelConfig:
     joint_dim: int = 128                # joint embedding dim (lane-aligned)
-    lstm_hidden: int = 1024             # query LSTM hidden size
+    rnn_cell: str = "lstm"              # "lstm" | "gru" query recurrence
+    lstm_hidden: int = 1024             # query LSTM/GRU hidden size
     lstm_layers: int = 1
     query_dropout: float = 0.0
     use_tef: bool = True                # temporal endpoint features concat

@@ -23,7 +23,12 @@ import jax.numpy as jnp
 import numpy as np
 
 from vfr_tpu.config import ModelConfig
-from vfr_tpu.ops.lstm import init_lstm_params, lstm_forward
+from vfr_tpu.ops.lstm import (
+    gru_forward,
+    init_gru_params,
+    init_lstm_params,
+    lstm_forward,
+)
 
 
 class Model(NamedTuple):
@@ -74,12 +79,19 @@ def init_model_params(
     cfg = model.cfg
     dtype = jnp.dtype(cfg.param_dtype)
     rng, r_lstm, r_qproj = jax.random.split(rng, 3)
-    params: Dict = {
-        "embeddings": jnp.asarray(glove_table, dtype),
-        "lstm": init_lstm_params(
+    if cfg.rnn_cell == "gru":
+        rnn = init_gru_params(
             r_lstm, glove_table.shape[1], cfg.lstm_hidden, cfg.lstm_layers,
             dtype=dtype,
-        ),
+        )
+    else:
+        rnn = init_lstm_params(
+            r_lstm, glove_table.shape[1], cfg.lstm_hidden, cfg.lstm_layers,
+            dtype=dtype,
+        )
+    params: Dict = {
+        "embeddings": jnp.asarray(glove_table, dtype),
+        "lstm": rnn,
     }
     if cfg.per_stream_query_proj:
         for s in model.streams:
@@ -116,7 +128,10 @@ def _query_hidden(
     if model.freeze_embeddings:
         table = jax.lax.stop_gradient(table)
     x = jnp.take(table, tokens, axis=0)          # [B, T, E]
-    if inference and use_pallas(model.cfg):
+    if model.cfg.rnn_cell == "gru":
+        # (Pallas GRU kernel: future work — scan handles both paths)
+        h_last, _ = gru_forward(params["lstm"], x, lengths, model.compute_dtype)
+    elif inference and use_pallas(model.cfg):
         from vfr_tpu.ops.pallas.lstm_kernel import pallas_lstm
 
         h_last, _ = pallas_lstm(params["lstm"], x, lengths, model.compute_dtype)

@@ -56,6 +56,69 @@ def _cell_step(x_t, h, c, w_ih, w_hh, b, compute_dtype):
     return h_new, c_new
 
 
+def init_gru_params(
+    rng: jax.Array, input_dim: int, hidden: int, num_layers: int = 1,
+    dtype=jnp.float32,
+) -> Dict[str, Dict[str, jnp.ndarray]]:
+    """GRU params in torch layout: gates (r, z, n); separate b_ih / b_hh
+    (the n-gate needs r * (W_hn h + b_hn), so the two biases are NOT
+    mergeable — unlike the LSTM)."""
+    params = {}
+    k = 1.0 / np.sqrt(hidden)
+    for layer in range(num_layers):
+        in_dim = input_dim if layer == 0 else hidden
+        rng, r1, r2, r3, r4 = jax.random.split(rng, 5)
+        params[f"layer{layer}"] = {
+            "w_ih": jax.random.uniform(r1, (in_dim, 3 * hidden), dtype, -k, k),
+            "w_hh": jax.random.uniform(r2, (hidden, 3 * hidden), dtype, -k, k),
+            "b_ih": jax.random.uniform(r3, (3 * hidden,), dtype, -k, k),
+            "b_hh": jax.random.uniform(r4, (3 * hidden,), dtype, -k, k),
+        }
+    return params
+
+
+def _gru_step(x_t, h, w_ih, w_hh, b_ih, b_hh, compute_dtype):
+    """One GRU step; torch (r, z, n) gate order and bias semantics."""
+    H = h.shape[-1]
+    gi = jnp.dot(x_t.astype(compute_dtype), w_ih.astype(compute_dtype),
+                 preferred_element_type=jnp.float32) + b_ih
+    gh = jnp.dot(h.astype(compute_dtype), w_hh.astype(compute_dtype),
+                 preferred_element_type=jnp.float32) + b_hh
+    r = jax.nn.sigmoid(gi[..., 0 * H : 1 * H] + gh[..., 0 * H : 1 * H])
+    z = jax.nn.sigmoid(gi[..., 1 * H : 2 * H] + gh[..., 1 * H : 2 * H])
+    n = jnp.tanh(gi[..., 2 * H : 3 * H] + r * gh[..., 2 * H : 3 * H])
+    return (1.0 - z) * n + z * h
+
+
+def gru_forward(
+    params: Dict[str, Dict[str, jnp.ndarray]],
+    x: jnp.ndarray,                 # [B, T, E]
+    lengths: jnp.ndarray,           # [B] int32 (>=1)
+    compute_dtype=jnp.float32,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """GRU twin of :func:`lstm_forward` (same padding-freeze semantics)."""
+    B, T, _ = x.shape
+    hs = x
+    h_last = None
+    for layer in range(len(params)):
+        p = params[f"layer{layer}"]
+        H = p["w_hh"].shape[0]
+        h0 = jnp.zeros((B, H), jnp.float32)
+
+        def step(h, inp):
+            x_t, t = inp
+            h_new = _gru_step(x_t, h, p["w_ih"], p["w_hh"], p["b_ih"],
+                              p["b_hh"], compute_dtype)
+            h = jnp.where((t < lengths)[:, None], h_new, h)
+            return h, h
+
+        xs = (jnp.swapaxes(hs, 0, 1), jnp.arange(T))
+        h_fin, h_seq = jax.lax.scan(step, h0, xs)
+        hs = jnp.swapaxes(h_seq, 0, 1)
+        h_last = h_fin
+    return h_last, hs
+
+
 def lstm_forward(
     params: Dict[str, Dict[str, jnp.ndarray]],
     x: jnp.ndarray,                 # [B, T, E]
