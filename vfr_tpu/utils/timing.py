@@ -3,21 +3,24 @@
 Empirically on this stack (TPU v5e behind a loopback relay):
   * ``jax.block_until_ready`` returns WITHOUT forcing execution;
   * repeated dispatch of the same (executable, buffers) pair can be elided;
-  * a device->host scalar fetch costs ~100 ms of relay round-trip.
+  * a device->host scalar fetch costs ~100 ms of relay round-trip;
+  * XLA hoists loop-invariant algebra, so naive perturbations like
+    ``(x + i) @ B`` distribute and the matmul leaves the loop.
 
-Naive ``for _ in range(N): f(x); block_until_ready`` therefore reports
-dispatch overhead, not compute.  The honest recipe, implemented here:
+The honest recipe, implemented here:
 
-  1. run the measured body inside ONE compiled ``lax.fori_loop`` whose loop
-     index perturbs the data (defeats memoization / loop hoisting) and whose
-     carry consumes the full result through an algebraically irreducible
-     reduction (``max``) so nothing dead-code-eliminates;
+  1. run the measured body inside ONE compiled ``lax.fori_loop`` whose
+     *traced* upper bound lets a single executable serve every iteration
+     count; the loop index perturbs the data (pass it through a gather or
+     other non-distributable op inside ``body``) and the carry consumes the
+     full result through ``jnp.max`` so nothing dead-code-eliminates;
   2. force execution with a single scalar fetch;
-  3. measure at two static iteration counts and divide the difference —
-     the fixed relay/fetch overhead cancels.
+  3. grow the iteration count geometrically until the wall-clock DIFFERENCE
+     between the long and the 2-iteration baseline run dominates the fixed
+     relay overhead (>= ``min_signal`` seconds), then report median-of-
+     repeats difference / extra iterations.
 
-Validated in tests/test_timing_tpu.py against known hardware ceilings
-(MXU matmul rate, HBM stream bandwidth).
+Validated in tests + against hardware ceilings (HBM stream bandwidth).
 """
 
 from __future__ import annotations
@@ -32,38 +35,51 @@ import jax.numpy as jnp
 def device_seconds_per_iter(
     body: Callable[[jnp.ndarray, jnp.ndarray], jnp.ndarray],
     x: jnp.ndarray,
-    iters: int = 32,
+    iters: int = 0,                 # 0 = adaptive (recommended)
     base_iters: int = 2,
     repeats: int = 3,
+    min_signal: float = 0.25,       # seconds the measured diff must reach
+    max_iters: int = 8192,
 ) -> float:
     """Mean device seconds per execution of ``body(i_f32, x) -> array``.
 
-    ``body`` receives the float32 loop index (use it to perturb inputs) and
-    must return an array; the harness consumes it with ``jnp.max``.
+    ``body`` receives the float32 loop index; use it to perturb inputs in a
+    way XLA cannot hoist out of the loop (index a table with it, shift
+    tokens, roll data).  The harness consumes the result with ``jnp.max``.
     """
 
-    def make(n):
-        @jax.jit
-        def run(x, salt):
-            def step(i, acc):
-                out = body(i.astype(jnp.float32) + salt, x)
-                return jnp.maximum(acc, jnp.max(out) * 1e-12)
-            return jax.lax.fori_loop(0, n, step, jnp.float32(0))
-        return run
+    @jax.jit
+    def run(x, salt, n):
+        def step(i, acc):
+            out = body(i.astype(jnp.float32) + salt, x)
+            return jnp.maximum(acc, jnp.max(out) * 1e-12)
+        return jax.lax.fori_loop(0, n, step, jnp.float32(0))
 
-    run_base, run_n = make(base_iters), make(iters)
-
-    def wall(run, salt):
+    def wall(salt, n):
         t0 = time.perf_counter()
-        float(run(x, jnp.float32(salt)))   # scalar fetch forces execution
+        float(run(x, jnp.float32(salt), jnp.int32(n)))
         return time.perf_counter() - t0
 
-    # warmup/compile both variants (distinct salts defeat any caching)
-    wall(run_base, 0.125)
-    wall(run_n, 0.25)
-    best = float("inf")
-    for r in range(repeats):
-        t_base = wall(run_base, 1.0 + r)
-        t_n = wall(run_n, 101.0 + r)
-        best = min(best, (t_n - t_base) / (iters - base_iters))
-    return max(best, 1e-9)
+    wall(0.125, base_iters)          # compile + warm
+    wall(0.25, base_iters + 1)
+
+    n = iters if iters else 16
+    salt = 1.0
+    while True:
+        t_base = wall(salt, base_iters)
+        t_n = wall(salt + 0.5, n)
+        diff = t_n - t_base
+        salt += 1.0
+        if iters or diff >= min_signal or n >= max_iters:
+            break
+        n = min(n * 4, max_iters)
+
+    diffs = [diff]
+    for _ in range(max(repeats - 1, 0)):
+        t_base = wall(salt, base_iters)
+        t_n = wall(salt + 0.5, n)
+        diffs.append(t_n - t_base)
+        salt += 1.0
+    diffs.sort()
+    med = diffs[len(diffs) // 2]
+    return max(med / (n - base_iters), 1e-12)
