@@ -68,6 +68,13 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("--shards", type=int, default=None)
     s.add_argument("--topk", type=int, default=10)
     s.add_argument("--num-videos", type=int, default=None)
+
+    k = sub.add_parser("pack", help="convert an .npz feature dump to the "
+                       "packed mmap .vfrf format (native fast loader)")
+    k.add_argument("--npz", required=True)
+    k.add_argument("--out", required=True)
+    k.add_argument("--rows", type=int, default=0,
+                   help="static row grid (0 = max rows over videos)")
     return p
 
 
@@ -110,6 +117,18 @@ def apply_overrides(cfg, args):
 
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
+
+    if args.cmd == "pack":
+        import numpy as np
+
+        from vfr_tpu.data.packed import pack_features
+
+        with np.load(args.npz) as z:
+            table = {k: z[k] for k in z.files}
+        path = pack_features(table, args.out, rows=args.rows or None)
+        print(f"packed {len(table)} videos -> {path}")
+        return 0
+
     cfg = apply_overrides(get_preset(args.preset), args)
 
     if args.cmd == "train":
