@@ -29,7 +29,8 @@ def build_model(cfg: ExperimentConfig, dataset=None) -> Model:
         tef = None                                # per-video TEF from batches
     else:
         spans = didemo_proposals(cfg.data.num_clips)
-        pool = jnp.asarray(pooling_matrix(spans, cfg.data.num_clips,
-                                          mcfg.pooling if mcfg.pooling == "mean" else "mean"))
+        # the mean matrix doubles as the span-membership indicator for
+        # pooling="max" (models.mcn._segment_max uses its nonzero pattern)
+        pool = jnp.asarray(pooling_matrix(spans, cfg.data.num_clips, "mean"))
         tef = jnp.asarray(temporal_endpoint_features(spans, cfg.data.num_clips))
     return Model(cfg=mcfg, streams=streams, pool_matrix=pool, tef=tef)

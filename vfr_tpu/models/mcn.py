@@ -205,6 +205,24 @@ def _pool_segments(pool_matrix, feats, compute_dtype):
     )
 
 
+def _segment_max(pool_matrix, feats):
+    """Segment max pooling (ModelConfig.pooling='max' parity flag).
+
+    The span membership indicator is recovered from the (mean or per-video)
+    pooling matrix's nonzero pattern; rows outside a span contribute -inf.
+    """
+    ind = pool_matrix > 0                                   # [P, C] or [B, P, C]
+    if ind.ndim == 2:
+        masked = jnp.where(
+            ind[None, :, :, None], feats[:, None, :, :], -jnp.inf
+        )                                                   # [B, P, C, F]
+    else:
+        masked = jnp.where(ind[:, :, :, None], feats[:, None, :, :], -jnp.inf)
+    out = jnp.max(masked, axis=2)
+    # spans with no member rows (padded bank windows) pool to 0, not -inf
+    return jnp.where(jnp.isfinite(out), out, 0.0)
+
+
 def embed_moments(
     params: Dict,
     model: Model,
@@ -230,6 +248,8 @@ def embed_moments(
     """
     cfg = model.cfg
     which = impl or cfg.moment_impl
+    if cfg.pooling == "max":
+        which = "direct"  # max pooling is nonlinear — cannot factor
     if which == "factored":
         return _embed_moments_factored(params, model, feats, tef, context_mask,
                                        pool_matrix)
@@ -239,7 +259,10 @@ def embed_moments(
     for s in model.streams:
         f = feats[s]
         B = f.shape[0]
-        local = _pool_segments(pm, f, cdt)                     # [B, P, F]
+        if cfg.pooling == "max":
+            local = _segment_max(pm, f)                        # [B, P, F]
+        else:
+            local = _pool_segments(pm, f, cdt)                 # [B, P, F]
         P = local.shape[1]
         parts = [local]
         if cfg.use_global_context:
