@@ -33,7 +33,7 @@ def main():
     from vfr_tpu.config import get_preset
     from vfr_tpu.models.build import build_model
     from vfr_tpu.models.mcn import embed_queries_multi, init_model_params
-    from vfr_tpu.ops.topk import hierarchical_top_k
+    from vfr_tpu.ops.topk import top_k_select
     from vfr_tpu.parallel.sharding import fused_corpus_distances
     from vfr_tpu.utils.timing import device_seconds_per_iter
 
@@ -66,17 +66,28 @@ def main():
         rng.integers(4, cfg.data.max_query_len + 1, Q), jnp.int32
     )
 
-    def serve_batch(i, tokens):
-        # every iteration serves a DIFFERENT query batch (token perturbation
-        # defeats execution elision; cost is identical each iteration)
-        toks = 1 + (tokens + i.astype(jnp.int32)) % (VOCAB - 1)
-        qs = embed_queries_multi(params, model, toks, lengths, inference=True)
-        D = fused_corpus_distances(qs, m, m_sq, weights, compute_dtype)
-        dists, rows = hierarchical_top_k(-D, K)
-        return dists
+    def make_serve(method):
+        def serve_batch(i, tokens):
+            # every iteration serves a DIFFERENT query batch (token
+            # perturbation defeats execution elision; per-iteration cost is
+            # identical)
+            toks = 1 + (tokens + i.astype(jnp.int32)) % (VOCAB - 1)
+            qs = embed_queries_multi(params, model, toks, lengths,
+                                     inference=True)
+            D = fused_corpus_distances(qs, m, m_sq, weights, compute_dtype)
+            dists, rows = top_k_select(-D, K, method,
+                                       cfg.eval.approx_recall)
+            return dists
+        return serve_batch
 
-    iters = 24 if on_tpu else 4
-    sec = device_seconds_per_iter(serve_batch, base_tokens, iters=iters)
+    # serving_10k preset default: approx top-k (TPU PartialReduce,
+    # recall_target 0.95); the exact path is reported alongside.
+    sec = device_seconds_per_iter(make_serve(cfg.eval.topk_method),
+                                  base_tokens)
+    sec_exact = (
+        sec if cfg.eval.topk_method == "exact"
+        else device_seconds_per_iter(make_serve("exact"), base_tokens)
+    )
 
     scored_per_sec = Q * N / sec
     print(json.dumps({
@@ -90,8 +101,12 @@ def main():
             "index_rows": N,
             "query_batch": Q,
             "topk": K,
+            "topk_method": cfg.eval.topk_method,
+            "approx_recall": cfg.eval.approx_recall,
             "batch_latency_ms": round(1e3 * sec, 3),
             "per_query_latency_us": round(1e6 * sec / Q, 2),
+            "exact_topk_batch_latency_ms": round(1e3 * sec_exact, 3),
+            "exact_topk_proposals_per_sec": round(Q * N / sec_exact, 1),
             "timing": "in-program loop, elision-proof (utils/timing.py)",
         },
     }))

@@ -192,6 +192,8 @@ def main(argv=None) -> int:
             batch_size=cfg.eval.corpus_query_batch,
             max_query_len=cfg.data.max_query_len,
             num_videos=cfg.eval.corpus_num_videos,
+            topk_method=cfg.eval.topk_method,
+            approx_recall=cfg.eval.approx_recall,
         ):
             print(json.dumps(rec))
         return 0

@@ -114,6 +114,11 @@ class EvalConfig:
     corpus_topk: int = 100
     corpus_query_batch: int = 128
     corpus_num_videos: int = 0          # 0 = whole dataset
+    # top-k selection: "exact" (lax.top_k) or "approx"
+    # (lax.approx_max_k — TPU PartialReduce; measured 73x faster at
+    # [128 x 210k], k=100 for a 0.95 recall target)
+    topk_method: str = "exact"
+    approx_recall: float = 0.95
 
 
 @dataclass(frozen=True)
@@ -218,7 +223,8 @@ _register(ExperimentConfig(
     model=ModelConfig(stream_weights=(0.5, 0.5), use_tef=True,
                       compute_dtype="bfloat16"),
     train=TrainConfig(),
-    eval=EvalConfig(corpus_shards=8, corpus_topk=100, corpus_query_batch=256),
+    eval=EvalConfig(corpus_shards=8, corpus_topk=100, corpus_query_batch=256,
+                    topk_method="approx"),
 ))
 
 

@@ -117,18 +117,24 @@ def make_retriever(
     k: int,
     mesh: Optional[jax.sharding.Mesh] = None,
     axis: str = "corpus",
+    topk_method: str = "exact",
+    approx_recall: float = 0.95,
 ):
-    """Jitted ``(params, tokens, lengths) -> (dists [Q,k], rows [Q,k])``."""
+    """Jitted ``(params, tokens, lengths) -> (dists [Q,k], rows [Q,k])``.
+
+    ``topk_method="approx"`` selects ``lax.approx_max_k`` (TPU
+    PartialReduce): measured 0.12 ms vs 8.97 ms exact at [128 x 210k] k=100,
+    i.e. the selection stage stops dominating the serving path.  Exact is
+    the eval default; serving presets opt into approx.
+    """
     compute_dtype = model.compute_dtype
 
     if mesh is None:
         from vfr_tpu.ops.pallas.distance_kernel import pallas_fused_distances
-        from vfr_tpu.ops.topk import hierarchical_top_k
+        from vfr_tpu.ops.topk import top_k_select
 
-        # Measured on v5e (210k rows, f32): XLA's fused matmul (1.1 ms) beats
-        # the Pallas distance kernel (2.0 ms), so Pallas is opt-in here
-        # ("always") until it wins; the top-k, not the matmul, dominated the
-        # flat path (9.6 ms) — hierarchical_top_k removes that.
+        # Measured on v5e (210k rows, f32): XLA's fused matmul beats the
+        # Pallas distance kernel, so Pallas is opt-in here ("always").
         pallas_on = model.cfg.use_pallas == "always"
         w_tuple = tuple(float(w) for w in model.cfg.stream_weights)
 
@@ -141,7 +147,7 @@ def make_retriever(
             else:
                 D = fused_corpus_distances(qs, index.m, index.m_sq,
                                            index.weights, compute_dtype)
-            vals, rows = hierarchical_top_k(-D, k)
+            vals, rows = top_k_select(-D, k, topk_method, approx_recall)
             return -vals, rows
 
         return retrieve
@@ -149,7 +155,6 @@ def make_retriever(
     ndev = mesh.shape[axis]
     m, m_sq = pad_index(index.m, index.m_sq, ndev)
     # index rows live sharded over ICI; queries/params replicated
-    from vfr_tpu.parallel.sharding import replicated, shard_rows
     m = jax.device_put(m, jax.sharding.NamedSharding(
         mesh, jax.sharding.PartitionSpec(None, axis, None)))
     m_sq = jax.device_put(m_sq, jax.sharding.NamedSharding(
@@ -160,7 +165,8 @@ def make_retriever(
         qs = _embed_query_streams(params, model, tokens, lengths)
         return sharded_corpus_topk(
             mesh, qs, m, m_sq, index.weights, k, axis=axis,
-            compute_dtype=compute_dtype,
+            compute_dtype=compute_dtype, method=topk_method,
+            recall=approx_recall,
         )
 
     return retrieve
@@ -170,8 +176,11 @@ def corpus_retrieval(
     params, model: Model, index: MomentIndex,
     tokens, lengths, k: int,
     mesh: Optional[jax.sharding.Mesh] = None,
+    topk_method: str = "exact", approx_recall: float = 0.95,
 ) -> Tuple[np.ndarray, np.ndarray]:
-    retrieve = make_retriever(model, index, k, mesh=mesh)
+    retrieve = make_retriever(model, index, k, mesh=mesh,
+                              topk_method=topk_method,
+                              approx_recall=approx_recall)
     d, rows = retrieve(params, jnp.asarray(tokens), jnp.asarray(lengths))
     return np.asarray(d), np.asarray(rows)
 
@@ -180,6 +189,7 @@ def serve_queries(
     params, model: Model, dataset, vocab, queries, k: int = 10,
     mesh: Optional[jax.sharding.Mesh] = None, batch_size: int = 128,
     max_query_len: int = 24, num_videos: int = 0,
+    topk_method: str = "exact", approx_recall: float = 0.95,
 ):
     """Large-scale serving (BASELINE.json:11): answer free-text queries
     against the cached moment index; returns a list of
@@ -187,7 +197,9 @@ def serve_queries(
     from vfr_tpu.data.glove import tokenize
 
     index = build_moment_index(params, model, dataset, num_videos=num_videos)
-    retrieve = make_retriever(model, index, min(k, index.num_rows), mesh=mesh)
+    retrieve = make_retriever(model, index, min(k, index.num_rows), mesh=mesh,
+                              topk_method=topk_method,
+                              approx_recall=approx_recall)
     video_ids = dataset.video_ids
     out = []
     for start in range(0, len(queries), batch_size):
@@ -222,7 +234,9 @@ def corpus_evaluate(
     ks = tuple(ecfg.recall_ks)
     taus = tuple(ecfg.tiou_thresholds)
     kmax = min(max(max(ks), 10), index.num_rows)
-    retrieve = make_retriever(model, index, kmax, mesh=mesh)
+    retrieve = make_retriever(model, index, kmax, mesh=mesh,
+                              topk_method=ecfg.topk_method,
+                              approx_recall=ecfg.approx_recall)
 
     hits = {(k, t): 0.0 for k in ks for t in taus}
     video_hits = {k: 0.0 for k in ks}

@@ -50,14 +50,15 @@ def fused_corpus_distances(
     return D
 
 
-def _local_block_topk(q, m_loc, msq_loc, weights, k, compute_dtype, axis):
+def _local_block_topk(q, m_loc, msq_loc, weights, k, compute_dtype, axis,
+                      method="exact", recall=0.95):
     """shard_map body: local distances -> local top-k -> all-gather -> merge."""
-    from vfr_tpu.ops.topk import hierarchical_top_k
+    from vfr_tpu.ops.topk import top_k_select
 
     D_loc = fused_corpus_distances(q, m_loc, msq_loc, weights, compute_dtype)
     n_loc = D_loc.shape[1]
     k_loc = min(k, n_loc)          # a shard can hold fewer than k rows
-    vals, idx = hierarchical_top_k(-D_loc, k_loc)         # [Q, k_loc] local best
+    vals, idx = top_k_select(-D_loc, k_loc, method, recall)  # [Q, k_loc]
     shard = jax.lax.axis_index(axis)
     gidx = idx + shard * n_loc                            # global row ids
     # candidates ride ICI: [ndev, Q, k] each
@@ -82,6 +83,8 @@ def sharded_corpus_topk(
     k: int,
     axis: str = "corpus",
     compute_dtype=jnp.float32,
+    method: str = "exact",
+    recall: float = 0.95,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Distributed top-k: returns (distances [Q, k], global row ids [Q, k]).
 
@@ -96,7 +99,8 @@ def sharded_corpus_topk(
             f"corpus axis size ({ndev}); use pad_index()"
         )
     fn = jax.shard_map(
-        partial(_local_block_topk, k=k, compute_dtype=compute_dtype, axis=axis),
+        partial(_local_block_topk, k=k, compute_dtype=compute_dtype, axis=axis,
+                method=method, recall=recall),
         mesh=mesh,
         in_specs=(P(), P(None, axis, None), P(None, axis), P()),
         out_specs=(P(), P()),
