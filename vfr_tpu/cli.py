@@ -123,8 +123,13 @@ def main(argv=None) -> int:
 
         from vfr_tpu.data.packed import pack_features
 
-        with np.load(args.npz) as z:
-            table = {k: z[k] for k in z.files}
+        try:
+            with np.load(args.npz) as z:
+                table = {k: z[k] for k in z.files}
+        except FileNotFoundError:
+            print(f"error: feature archive not found: {args.npz}",
+                  file=sys.stderr)
+            return 2
         path = pack_features(table, args.out, rows=args.rows or None)
         print(f"packed {len(table)} videos -> {path}")
         return 0
