@@ -135,26 +135,37 @@ class CharadesSTADataset:
 
         self.num_queries = N
 
-    def _gather(self, idx: np.ndarray, with_gt: bool) -> Dict[str, np.ndarray]:
+    def _gather(self, idx: np.ndarray, with_gt: bool,
+                with_features: bool = True) -> Dict[str, np.ndarray]:
         v = self.video_idx[idx]
         b = {
             "tokens": self.tokens[idx],
             "lengths": self.lengths[idx],
-            "rgb": self.rgb_feats[v],
             "target": self.target[idx],
             "video_idx": v,
             "window_mask": self.window_mask[v],
             "tef": self.video_tef[v],
         }
-        if self.flow_feats is not None:
-            b["flow"] = self.flow_feats[v]
+        if with_features:
+            b["rgb"] = self.rgb_feats[v]
+            if self.flow_feats is not None:
+                b["flow"] = self.flow_feats[v]
         if with_gt:
             b["gt_spans"] = self.gt_spans[idx]
             b["gt_mask"] = self.gt_mask[idx]
         return b
 
+    def feature_banks(self) -> Dict[str, np.ndarray]:
+        """stream -> [V, T, F] full-corpus feature arrays (one-time device
+        upload; see train/step.py feature_banks)."""
+        banks = {"rgb": self.rgb_feats}
+        if self.flow_feats is not None:
+            banks["flow"] = self.flow_feats
+        return banks
+
     def train_batches(self, batch_size: int, steps: int, seed: int,
-                      sample_targets: bool = False):
+                      sample_targets: bool = False,
+                      with_features: bool = True):
         # Charades-STA has a single GT interval per query; sample_targets is
         # accepted for interface parity and is a no-op.
         rng = np.random.default_rng(seed)
@@ -166,9 +177,10 @@ class CharadesSTADataset:
                 pos = 0
             idx = order[pos : pos + batch_size]
             pos += batch_size
-            yield self._gather(idx, with_gt=False)
+            yield self._gather(idx, with_gt=False, with_features=with_features)
 
-    def eval_batches(self, batch_size: int) -> Iterator[Dict[str, np.ndarray]]:
+    def eval_batches(self, batch_size: int, with_features: bool = True
+                     ) -> Iterator[Dict[str, np.ndarray]]:
         for start in range(0, self.num_queries, batch_size):
             idx = np.arange(start, min(start + batch_size, self.num_queries))
             valid = np.ones(batch_size, dtype=bool)
@@ -177,6 +189,6 @@ class CharadesSTADataset:
                 idx = np.concatenate(
                     [idx, np.zeros(batch_size - len(idx), dtype=idx.dtype)]
                 )
-            b = self._gather(idx, with_gt=True)
+            b = self._gather(idx, with_gt=True, with_features=with_features)
             b["valid"] = valid
             yield b

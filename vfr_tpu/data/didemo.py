@@ -102,25 +102,37 @@ class DidemoDataset:
         self.num_queries = N
 
     # ---------------------------------------------------------------- batches
-    def _gather(self, idx: np.ndarray, with_gt: bool) -> Dict[str, np.ndarray]:
+    def _gather(self, idx: np.ndarray, with_gt: bool,
+                with_features: bool = True) -> Dict[str, np.ndarray]:
         b = {
             "tokens": self.tokens[idx],
             "lengths": self.lengths[idx],
-            "rgb": self.rgb_feats[self.video_idx[idx]],
             "target": self.target[idx],
             "video_idx": self.video_idx[idx],
         }
-        if self.flow_feats is not None:
-            b["flow"] = self.flow_feats[self.video_idx[idx]]
+        if with_features:
+            # host-side gather; device-resident feature banks skip this
+            # entirely (train/step.py feature_banks)
+            b["rgb"] = self.rgb_feats[self.video_idx[idx]]
+            if self.flow_feats is not None:
+                b["flow"] = self.flow_feats[self.video_idx[idx]]
         if with_gt:
             b["gt_spans"] = self.gt_spans[idx]
             b["gt_mask"] = self.gt_mask[idx]
             b["gt_prop_idx"] = self.gt_prop_idx[idx]
         return b
 
+    def feature_banks(self) -> Dict[str, np.ndarray]:
+        """stream -> [V, C, F] full-corpus feature arrays (for one-time
+        device upload; see train/step.py feature_banks)."""
+        banks = {"rgb": self.rgb_feats}
+        if self.flow_feats is not None:
+            banks["flow"] = self.flow_feats
+        return banks
+
     def train_batches(
         self, batch_size: int, steps: int, seed: int,
-        sample_targets: bool = False,
+        sample_targets: bool = False, with_features: bool = True,
     ) -> Iterator[Dict[str, np.ndarray]]:
         """``steps`` shuffled batches (with-replacement epochs, fixed shape).
 
@@ -136,14 +148,15 @@ class DidemoDataset:
                 pos = 0
             idx = order[pos : pos + batch_size]
             pos += batch_size
-            b = self._gather(idx, with_gt=False)
+            b = self._gather(idx, with_gt=False, with_features=with_features)
             if sample_targets:
                 counts = self.gt_mask[idx].sum(axis=1).clip(min=1)
                 pick = rng.integers(0, counts)
                 b["target"] = self.gt_prop_idx[idx, pick].astype(np.int32)
             yield b
 
-    def eval_batches(self, batch_size: int) -> Iterator[Dict[str, np.ndarray]]:
+    def eval_batches(self, batch_size: int, with_features: bool = True
+                     ) -> Iterator[Dict[str, np.ndarray]]:
         """All queries once; final batch padded by repetition + ``valid`` mask."""
         for start in range(0, self.num_queries, batch_size):
             idx = np.arange(start, min(start + batch_size, self.num_queries))
@@ -153,7 +166,7 @@ class DidemoDataset:
                 idx = np.concatenate(
                     [idx, np.zeros(batch_size - len(idx), dtype=idx.dtype)]
                 )
-            b = self._gather(idx, with_gt=True)
+            b = self._gather(idx, with_gt=True, with_features=with_features)
             b["valid"] = valid
             yield b
 

@@ -35,12 +35,21 @@ from vfr_tpu.models.mcn import (
 from vfr_tpu.ops.tiou import tiou
 
 
-def make_scorer(model: Model):
-    """Jitted ``(params, batch) -> D [B, P]`` fused distances (lower=better)."""
+def make_scorer(model: Model, feature_banks=None):
+    """Jitted ``(params, batch) -> D [B, P]`` fused distances (lower=better).
+
+    With ``feature_banks`` (stream -> [V, C, F] device-resident) batches
+    carry only ``video_idx`` and features are gathered in HBM."""
 
     @jax.jit
-    def score(params, batch):
-        feats = {s: batch[s] for s in model.streams}
+    def score(params, batch, banks):
+        if banks is not None:
+            feats = {
+                s: jnp.take(banks[s], batch["video_idx"], axis=0)
+                for s in model.streams
+            }
+        else:
+            feats = {s: batch[s] for s in model.streams}
         q = embed_queries_multi(
             params, model, batch["tokens"], batch["lengths"], inference=True
         )
@@ -54,7 +63,7 @@ def make_scorer(model: Model):
             D = jnp.where(batch["window_mask"], D, jnp.inf)
         return D
 
-    return score
+    return lambda params, batch: score(params, batch, feature_banks)
 
 
 def _order_from_distances(D: np.ndarray) -> np.ndarray:
@@ -78,8 +87,13 @@ def evaluate(
     model: Model,
     dataset,
     ecfg: EvalConfig,
+    feature_banks=None,
 ) -> Dict[str, float]:
-    """Full-dataset localization metrics."""
+    """Full-dataset localization metrics.
+
+    ``feature_banks``: pass pre-uploaded device banks to reuse across
+    repeated evals (the train loop does); by default they are built (and
+    uploaded once) here."""
     if hasattr(dataset, "span_seconds"):
         prop_seconds = np.asarray(dataset.span_seconds)   # DiDeMo static spans
     else:
@@ -87,14 +101,19 @@ def evaluate(
     ks = tuple(ecfg.recall_ks)
     taus = tuple(ecfg.tiou_thresholds)
     kmax = max(ks)
-    score = make_scorer(model)
+    if feature_banks is None:
+        feature_banks = jax.device_put(
+            {k: jnp.asarray(v) for k, v in dataset.feature_banks().items()}
+        )
+    score = make_scorer(model, feature_banks)
 
     hits = {(k, t): 0.0 for k in ks for t in taus}
     miou_sum, n_queries = 0.0, 0
     official_rank_sum: Dict[int, float] = {k: 0.0 for k in ks}
     official_miou_sum = 0.0
 
-    for batch in dataset.eval_batches(ecfg.eval_batch_size):
+    for batch in dataset.eval_batches(ecfg.eval_batch_size,
+                                      with_features=False):
         D = np.asarray(score(params, batch))
         valid = batch["valid"]
         order = _order_from_distances(D)                   # [B, P]

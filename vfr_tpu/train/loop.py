@@ -8,6 +8,7 @@ TPU never waits on the host (BASELINE.json:5).
 from __future__ import annotations
 
 import math
+import time
 from typing import Dict, Optional, Tuple
 
 import jax
@@ -27,7 +28,6 @@ from vfr_tpu.train.checkpoint import (
 from vfr_tpu.train.optim import make_optimizer
 from vfr_tpu.train.step import make_train_step
 from vfr_tpu.utils.logging import MetricsLogger
-from vfr_tpu.utils.profiling import StepTimer
 
 
 def train(
@@ -66,9 +66,19 @@ def train(
             )
             logger.log("resume", start_step, {"checkpoint": ckpt})
 
-    step_fn = make_train_step(model, tcfg, opt, mesh=mesh)
+    # One-time feature upload: the whole corpus' clip features live in HBM
+    # for the run; per-step batches carry video ids only (train/step.py).
+    import jax.numpy as jnp
+
+    train_banks = jax.device_put(
+        {k: jnp.asarray(v) for k, v in ds.feature_banks().items()}
+    )
+    val_banks = jax.device_put(
+        {k: jnp.asarray(v) for k, v in val_ds.feature_banks().items()}
+    )
+    step_fn = make_train_step(model, tcfg, opt, mesh=mesh,
+                              feature_banks=train_banks)
     step = start_step
-    timer = StepTimer()
     final_metrics: Dict[str, float] = {}
 
     epoch0 = start_step // steps_per_epoch
@@ -77,6 +87,7 @@ def train(
             for i, b in enumerate(ds.train_batches(
                 tcfg.batch_size, steps_per_epoch, seed=tcfg.seed + e,
                 sample_targets=(tcfg.target_sampling == "sample"),
+                with_features=False,
             )):
                 if cfg.model.query_dropout > 0:
                     # raw threefry key data: (seed-derived, step-derived)
@@ -86,13 +97,23 @@ def train(
                 yield b
 
         batches = Prefetcher(_epoch_batches, depth=tcfg.prefetch_depth)
+        # Fetch device scalars ONLY at log boundaries: on this runtime a
+        # device->host scalar fetch costs a ~100 ms relay round-trip, so a
+        # per-step loss fetch would serialize the queue and dominate step
+        # time (observed 126 ms/step -> ~10 ms/step with batched fetches).
+        # Wall time between fetches is honest throughput: the fetch drains
+        # the dispatch queue, covering every step since the last one.
+        t_last = time.perf_counter()
+        steps_since = 0
         for batch in batches:
-            timer.start()
             params, opt_state, aux = step_fn(params, opt_state, batch)
-            loss = float(aux["loss"])        # blocks; keeps timer honest
-            timer.stop()
             step += 1
-            if step % tcfg.log_every_steps == 0 or step == total_steps:
+            steps_since += 1
+            end_of_epoch = steps_since >= steps_per_epoch
+            if step % tcfg.log_every_steps == 0 or end_of_epoch:
+                loss = float(aux["loss"])    # forces execution of the queue
+                now = time.perf_counter()
+                dt = (now - t_last) / max(steps_since, 1)
                 logger.log("train", step, {
                     "epoch": epoch,
                     "loss": loss,
@@ -100,13 +121,18 @@ def train(
                     "loss_inter": float(aux["loss_inter"]),
                     "train_r1": float(aux["train_r1"]),
                     "grad_norm": float(aux["grad_norm"]),
-                    "step_ms": 1e3 * timer.mean,
-                    "queries_per_sec": tcfg.batch_size / max(timer.mean, 1e-9),
+                    "step_ms": 1e3 * dt,
+                    "queries_per_sec": tcfg.batch_size / max(dt, 1e-9),
                 })
-            if not np.isfinite(loss):
-                raise FloatingPointError(f"loss diverged at step {step}: {loss}")
+                t_last = now
+                steps_since = 0
+                if not np.isfinite(loss):
+                    raise FloatingPointError(
+                        f"loss diverged at step {step}: {loss}"
+                    )
 
-        metrics = evaluate(params, model, val_ds, cfg.eval)
+        metrics = evaluate(params, model, val_ds, cfg.eval,
+                           feature_banks=val_banks)
         logger.log("eval", step, metrics)
         final_metrics = metrics
         if (epoch + 1) % tcfg.checkpoint_every_epochs == 0 or epoch == tcfg.num_epochs - 1:

@@ -26,8 +26,18 @@ from vfr_tpu.train.loss import ranking_loss
 def loss_from_batch(
     params: Dict, model: Model, tcfg: TrainConfig,
     batch: Dict[str, jnp.ndarray], dropout_rng=None,
+    feature_banks: Optional[Dict[str, jnp.ndarray]] = None,
 ):
-    feats = {s: batch[s] for s in model.streams}
+    if feature_banks is not None:
+        # device-resident corpus features: the batch carries only video ids
+        # and the gather happens in HBM — per-step H2D traffic is a few KB
+        # of ids instead of MBs of (per-query duplicated) features
+        feats = {
+            s: jnp.take(feature_banks[s], batch["video_idx"], axis=0)
+            for s in model.streams
+        }
+    else:
+        feats = {s: batch[s] for s in model.streams}
     q = embed_queries_multi(
         params, model, batch["tokens"], batch["lengths"],
         dropout_rng=dropout_rng,
@@ -51,14 +61,21 @@ def make_train_step(
     optimizer: optax.GradientTransformation,
     mesh: Optional[jax.sharding.Mesh] = None,
     data_axis: str = "data",
+    feature_banks: Optional[Dict[str, jnp.ndarray]] = None,
 ):
     """Returns jitted ``train_step(params, opt_state, batch) -> (params,
     opt_state, metrics)``.  With ``mesh``, batch arrays are sharded over
-    ``data_axis`` and params/optimizer state are replicated (DP over ICI)."""
+    ``data_axis`` and params/optimizer state are replicated (DP over ICI).
 
-    def _step(params, opt_state, batch, dropout_rng):
+    ``feature_banks`` (stream -> [V, C, F], device-resident) switches the
+    step to id-gather mode: batches carry ``video_idx`` only and clip
+    features never cross the host/device boundary after the one-time bank
+    upload."""
+
+    def _step(params, opt_state, batch, dropout_rng, banks):
         (loss, aux), grads = jax.value_and_grad(
-            lambda p: loss_from_batch(p, model, tcfg, batch, dropout_rng),
+            lambda p: loss_from_batch(p, model, tcfg, batch, dropout_rng,
+                                      banks),
             has_aux=True,
         )(params)
         updates, opt_state = optimizer.update(grads, opt_state, params)
@@ -68,6 +85,7 @@ def make_train_step(
 
     if mesh is None:
         jitted = jax.jit(_step, donate_argnums=(0, 1))
+        banks = feature_banks
     else:
         repl = jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec())
         batch_sh = jax.sharding.NamedSharding(
@@ -75,14 +93,19 @@ def make_train_step(
         )
         jitted = jax.jit(
             _step,
-            in_shardings=(repl, repl, batch_sh, repl),
+            in_shardings=(repl, repl, batch_sh, repl, repl),
             out_shardings=(repl, repl, repl),
             donate_argnums=(0, 1),
+        )
+        banks = (
+            jax.device_put(feature_banks, repl)
+            if feature_banks is not None
+            else None
         )
 
     def step(params, opt_state, batch):
         batch = dict(batch)
         dropout_rng = batch.pop("dropout_rng", None)
-        return jitted(params, opt_state, batch, dropout_rng)
+        return jitted(params, opt_state, batch, dropout_rng, banks)
 
     return step
