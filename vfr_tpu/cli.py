@@ -18,7 +18,6 @@ import sys
 import jax
 
 from vfr_tpu.config import PRESETS, get_preset
-from vfr_tpu.utils.logging import MetricsLogger
 
 
 def build_parser() -> argparse.ArgumentParser:

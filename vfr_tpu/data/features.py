@@ -11,7 +11,7 @@ feature dumps convert to in one line.
 from __future__ import annotations
 
 import os
-from typing import Dict, Iterable, Optional
+from typing import Dict, Iterable
 
 import numpy as np
 

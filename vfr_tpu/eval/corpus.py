@@ -18,7 +18,6 @@ This is the >100k proposals/query/chip/sec path bench.py measures.
 from __future__ import annotations
 
 from dataclasses import dataclass
-from functools import partial
 from typing import Dict, Optional, Tuple
 
 import jax

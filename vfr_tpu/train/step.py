@@ -11,8 +11,7 @@ jit + NamedSharding constraints make XLA insert the gradient psum over ICI.
 
 from __future__ import annotations
 
-from functools import partial
-from typing import Dict, Optional, Tuple
+from typing import Dict, Optional
 
 import jax
 import jax.numpy as jnp
