@@ -71,3 +71,31 @@ class TestLSTMKernel:
         # rows t >= length repeat h[length-1]
         np.testing.assert_allclose(hs[0, 3], hs[0, 2], atol=1e-6)
         np.testing.assert_allclose(hs[0, 5], hs[0, 2], atol=1e-6)
+
+
+class TestVMEMGuard:
+    def test_fit_estimates(self):
+        from vfr_tpu.ops.pallas.lstm_kernel import pallas_lstm_fits_vmem
+
+        assert pallas_lstm_fits_vmem(128, 300, 1024)       # bench shape: fits
+        assert not pallas_lstm_fits_vmem(256, 300, 1024)   # measured OOM
+        assert pallas_lstm_fits_vmem(256, 300, 256)        # small H fits
+
+    def test_fallback_matches_scan(self):
+        """Oversized shapes silently use the scan twin (same results)."""
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+
+        from vfr_tpu.ops.lstm import init_lstm_params, lstm_forward
+        from vfr_tpu.ops.pallas.lstm_kernel import pallas_lstm
+
+        B, T, E, H = 300, 4, 2048, 1024   # fails the fit check
+        params = init_lstm_params(jax.random.PRNGKey(0), E, H)
+        x = jnp.asarray(
+            np.random.default_rng(0).standard_normal((B, T, E)), jnp.float32
+        )
+        lengths = jnp.full((B,), T, jnp.int32)
+        h1, _ = pallas_lstm(params, x, lengths)   # would OOM if not guarded
+        h2, _ = lstm_forward(params, x, lengths)
+        np.testing.assert_array_equal(np.asarray(h1), np.asarray(h2))

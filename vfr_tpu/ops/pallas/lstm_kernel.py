@@ -66,6 +66,24 @@ def _kernel(x_ref, len_ref, wih_ref, whh_ref, b_ref, hlast_ref, hs_ref,
         hlast_ref[:] = h_scr[:]
 
 
+def pallas_lstm_fits_vmem(
+    B: int, E: int, H: int, weights_bytes: int = 2, budget: int = 15 << 20
+) -> bool:
+    """Conservative VMEM estimate for one kernel invocation.
+
+    Resident: gate weights ((E+H) x 4H in ``weights_dtype``), double-buffered
+    x/hs step blocks, h/c scratch, h_last out, bias.  The compiler's scoped
+    budget is 16 MB; we keep headroom.  At H=1024, E=300 this admits B<=128
+    (B=256 measured OOM at 20.2 MB)."""
+    weights = (E + H) * 4 * H * weights_bytes
+    x_blocks = 2 * B * E * 4
+    hs_blocks = 2 * B * H * 4
+    scratch = 2 * B * H * 4
+    out = B * H * 4
+    bias = 4 * H * 4
+    return weights + x_blocks + hs_blocks + scratch + out + bias <= budget
+
+
 def _pallas_lstm_layer(
     x: jnp.ndarray,        # [B, T, E]
     lengths: jnp.ndarray,  # [B] int32
@@ -135,7 +153,19 @@ def pallas_lstm(
 
     ``weights_dtype`` controls the VMEM-resident weight precision (bf16
     default — required to fit H=1024 in VMEM; pass float32 for bit-parity
-    testing at small H)."""
+    testing at small H).
+
+    Falls back to the lax.scan twin when the shape exceeds the VMEM budget
+    (pallas_lstm_fits_vmem) — identical semantics either way."""
+    B = x.shape[0]
+    wb = jnp.dtype(weights_dtype).itemsize
+    for layer in range(len(params)):
+        p = params[f"layer{layer}"]
+        E, H4 = p["w_ih"].shape
+        if not pallas_lstm_fits_vmem(B, E, H4 // 4, wb):
+            from vfr_tpu.ops.lstm import lstm_forward
+
+            return lstm_forward(params, x, lengths, compute_dtype)
     hs = x
     h_last = None
     for layer in range(len(params)):
