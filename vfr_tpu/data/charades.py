@@ -109,6 +109,15 @@ class CharadesSTADataset:
             window_validity_mask(self.windows, d, cfg.feature_seconds)
             for d in self.durations
         ])  # [V, W]
+        # Videos shorter than the smallest window scale would get an
+        # all-False mask (degenerate targets, all-inf eval distances);
+        # guarantee at least the shortest real bank window is usable —
+        # pooling over its zero-padded tail rows is well-defined.
+        lengths_w = self.windows[:, 1] - self.windows[:, 0]
+        real = lengths_w > 1e-6
+        shortest = int(np.argmin(np.where(real, lengths_w, np.inf)))
+        empty = ~self.window_mask.any(axis=1)
+        self.window_mask[empty, shortest] = True
         self.video_tef = np.stack([
             window_tef(self.windows, d) for d in self.durations
         ])  # [V, W, 2]

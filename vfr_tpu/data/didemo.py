@@ -89,9 +89,13 @@ class DidemoDataset:
             ][:MAX_ANNOTATORS]
             if not times:
                 times = [(0, 0)]
-            # training target = most common annotator span (ties -> smallest
-            # proposal index); a config-level alternative can sample per step.
-            mode_span = Counter(times).most_common(1)[0][0]
+            # training target = most common annotator span; ties break to
+            # the smallest proposal index (deterministic, documented rule —
+            # Counter.most_common alone would break ties by insertion order)
+            counts = Counter(times)
+            mode_span = min(
+                counts, key=lambda s: (-counts[s], span_index(s, C))
+            )
             self.target[i] = span_index(mode_span, C)
             sec = spans_to_seconds(np.asarray(times, np.int32), cfg.clip_seconds)
             self.gt_spans[i, : len(times)] = sec

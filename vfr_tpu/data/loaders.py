@@ -35,6 +35,22 @@ def _load_store(data_dir: str, stream: str):
     return FeatureStore.load(os.path.join(data_dir, f"features_{stream}.npz"))
 
 
+def _load_flow(data_dir: str, use_flow: bool):
+    """Flow store, failing LOUDLY when the config demands a flow stream but
+    no file exists (a silent None would surface as an opaque KeyError deep
+    inside the jitted step)."""
+    if not use_flow:
+        return None
+    flow = FeatureStore.maybe_load(os.path.join(data_dir, "features_flow.npz"))
+    if flow is None:
+        raise FileNotFoundError(
+            f"use_flow=True but neither features_flow.npz nor "
+            f"features_flow.vfrf exists under {data_dir}; provide the flow "
+            f"feature dump or use an rgb-only preset (e.g. didemo_rgb)"
+        )
+    return flow
+
+
 @dataclass
 class DataBundle:
     train: object
@@ -65,11 +81,7 @@ def _load_didemo(dcfg: DataConfig) -> DataBundle:
             load_annotations(os.path.join(d, val_path)) if val_path else train_anns
         )
         rgb = _load_store(d, "rgb")
-        flow = (
-            FeatureStore.maybe_load(os.path.join(d, "features_flow.npz"))
-            if dcfg.use_flow
-            else None
-        )
+        flow = _load_flow(d, dcfg.use_flow)
         vocab = Vocab.from_corpus(
             (a["description"] for a in train_anns), max_size=dcfg.vocab_size
         )
@@ -117,11 +129,7 @@ def _load_charades(dcfg: DataConfig) -> DataBundle:
             else train_anns
         )
         rgb = _load_store(d, "rgb")
-        flow = (
-            FeatureStore.maybe_load(os.path.join(d, "features_flow.npz"))
-            if dcfg.use_flow
-            else None
-        )
+        flow = _load_flow(d, dcfg.use_flow)
         vocab = Vocab.from_corpus(
             (a["description"] for a in train_anns), max_size=dcfg.vocab_size
         )

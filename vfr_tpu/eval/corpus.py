@@ -83,6 +83,11 @@ def build_moment_index(
     S, _, _, d = all_m.shape
     flat = all_m.reshape(S, V * P, d)
 
+    if model.cfg.distance == "cosine":
+        # Store L2-normalized rows: fused squared-euclidean over normalized
+        # vectors is sum_s w_s*(2 - 2cos_s), an affine transform of the
+        # fused cosine distance — identical ranking, one code path.
+        flat = flat / (np.linalg.norm(flat, axis=-1, keepdims=True) + 1e-8)
     m_sq = (flat.astype(np.float64) ** 2).sum(-1).astype(np.float32)
     video_row = np.repeat(np.arange(V, dtype=np.int32), P)
     prop_idx = np.tile(np.arange(P, dtype=np.int32), V)
@@ -106,8 +111,12 @@ def build_moment_index(
 
 def _embed_query_streams(params, model: Model, tokens, lengths) -> jnp.ndarray:
     """[S, Q, d]: shared LSTM trunk; per-stream or shared projection per
-    ModelConfig.per_stream_query_proj."""
-    return embed_queries_multi(params, model, tokens, lengths, inference=True)
+    ModelConfig.per_stream_query_proj.  Cosine mode normalizes (the index
+    rows are stored normalized — see build_moment_index)."""
+    qs = embed_queries_multi(params, model, tokens, lengths, inference=True)
+    if model.cfg.distance == "cosine":
+        qs = qs / (jnp.linalg.norm(qs, axis=-1, keepdims=True) + 1e-8)
+    return qs
 
 
 def make_retriever(
@@ -125,7 +134,18 @@ def make_retriever(
     PartialReduce): measured 0.12 ms vs 8.97 ms exact at [128 x 210k] k=100,
     i.e. the selection stage stops dominating the serving path.  Exact is
     the eval default; serving presets opt into approx.
+
+    Distance config: sqeuclidean natively; cosine via normalized index rows
+    + queries (rank-equivalent — see build_moment_index); euclidean is rank-
+    equivalent for a single stream but the multi-stream weighted sum of
+    sqrt'd distances orders differently — rejected loudly.
     """
+    if model.cfg.distance == "euclidean" and len(model.streams) > 1:
+        raise NotImplementedError(
+            "corpus retrieval with distance='euclidean' and multiple streams "
+            "is not rank-equivalent to the fused sqeuclidean scorer; use "
+            "sqeuclidean/cosine or a single stream"
+        )
     compute_dtype = model.compute_dtype
 
     if mesh is None:

@@ -196,9 +196,11 @@ def embed_queries_multi(
 
 
 def _pool_segments(pool_matrix, feats, compute_dtype):
-    """[P, C] x [B, C, F] -> [B, P, F] — segment mean pooling as one matmul."""
+    """[P, C] (or per-video [B, P, C]) x [B, C, F] -> [B, P, F] — segment
+    mean pooling as one matmul."""
+    eq = "pc,bcf->bpf" if pool_matrix.ndim == 2 else "bpc,bcf->bpf"
     return jnp.einsum(
-        "pc,bcf->bpf",
+        eq,
         pool_matrix.astype(compute_dtype),
         feats.astype(compute_dtype),
         preferred_element_type=jnp.float32,

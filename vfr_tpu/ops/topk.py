@@ -1,14 +1,19 @@
-"""Hierarchical (chunked) top-k — exact, and far cheaper than a flat
-``lax.top_k`` over long rows on TPU.
+"""Top-k selection utilities.
 
-``lax.top_k`` lowers to a sort-flavored kernel whose cost grows super-
-linearly with row length: at [128, 210k], k=100 it costs ~9.6 ms on v5e
-while the distance matmul producing the scores costs ~1.1 ms.  Splitting the
-row into C chunks, taking top-min(k, chunk) per chunk (parallel, short
-sorts), and re-top-k'ing over the C*k survivors is mathematically exact —
-every global top-k element is a top-k element of its chunk — and ~6x faster
-at corpus scale.  The same scheme is what parallel.sharding uses ACROSS
-devices; this is the within-device level of the hierarchy.
+``top_k_select`` is the production dispatch: exact ``lax.top_k`` or
+``lax.approx_max_k`` (TPU PartialReduce).  Honest on-device measurements at
+[128 x 210k], k=100 on v5e (utils/timing.py methodology):
+
+    exact lax.top_k           8.97 ms
+    hierarchical (below)     10.33 ms   <- NO win: XLA's top_k cost is
+                                           ~O(N*k), so chunking with
+                                           per-chunk k=100 saves nothing
+    lax.approx_max_k @.95     0.12 ms   <- 73x; the serving default
+
+``hierarchical_top_k`` is kept as an exact utility (and as the in-device
+analogue of the cross-device scheme in parallel.sharding, where it DOES pay
+because only k candidates ride the interconnect), but it is not dispatched
+on the serving path.
 """
 
 from __future__ import annotations

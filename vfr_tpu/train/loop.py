@@ -105,11 +105,15 @@ def train(
         # the dispatch queue, covering every step since the last one.
         t_last = time.perf_counter()
         steps_since = 0
+        epoch_step = 0
         for batch in batches:
             params, opt_state, aux = step_fn(params, opt_state, batch)
             step += 1
             steps_since += 1
-            end_of_epoch = steps_since >= steps_per_epoch
+            epoch_step += 1
+            # always flush at the epoch boundary so no log window leaks
+            # across evaluate()/checkpointing into the next epoch's timing
+            end_of_epoch = epoch_step >= steps_per_epoch
             if step % tcfg.log_every_steps == 0 or end_of_epoch:
                 loss = float(aux["loss"])    # forces execution of the queue
                 now = time.perf_counter()

@@ -28,14 +28,23 @@ def make_schedule(tcfg: TrainConfig, total_steps: int = 0):
     return sched
 
 
+def _decay_mask(params):
+    """adamw weight decay is gradient-independent, so stop_gradient alone
+    does not protect the frozen GloVe table — mask it out of decay."""
+    return {k: (k != "embeddings") for k in params}
+
+
 def make_optimizer(
-    tcfg: TrainConfig, total_steps: int = 0
+    tcfg: TrainConfig, total_steps: int = 0, freeze_embeddings: bool = True
 ) -> optax.GradientTransformation:
     sched = make_schedule(tcfg, total_steps)
     if tcfg.optimizer == "adam":
         core = optax.adam(sched)
     elif tcfg.optimizer == "adamw":
-        core = optax.adamw(sched, weight_decay=tcfg.weight_decay)
+        core = optax.adamw(
+            sched, weight_decay=tcfg.weight_decay,
+            mask=_decay_mask if freeze_embeddings else None,
+        )
     elif tcfg.optimizer == "sgd":
         core = optax.sgd(sched, momentum=tcfg.momentum)
     else:
