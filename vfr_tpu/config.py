@@ -98,6 +98,9 @@ class TrainConfig:
     checkpoint_every_epochs: int = 1
     keep_checkpoints: int = 3
     log_every_steps: int = 20
+    steps_per_call: int = 0             # optimizer steps fused per dispatch
+                                        # via lax.scan (0 = log_every_steps);
+                                        # amortizes program-launch overhead
     metrics_path: str = ""              # "" = <checkpoint_dir>/metrics.jsonl
     data_parallel: bool = False         # shard batch over mesh axis "data"
     prefetch_depth: int = 2             # host->HBM double buffering depth

@@ -26,7 +26,7 @@ from vfr_tpu.train.checkpoint import (
     save_checkpoint,
 )
 from vfr_tpu.train.optim import make_optimizer
-from vfr_tpu.train.step import make_train_step
+from vfr_tpu.train.step import make_train_multi_step
 from vfr_tpu.utils.logging import MetricsLogger
 
 
@@ -76,14 +76,21 @@ def train(
     val_banks = jax.device_put(
         {k: jnp.asarray(v) for k, v in val_ds.feature_banks().items()}
     )
-    step_fn = make_train_step(model, tcfg, opt, mesh=mesh,
-                              feature_banks=train_banks)
+    # K optimizer steps fuse into one dispatched program (lax.scan) —
+    # program-launch overhead dominates wall time otherwise (train/step.py
+    # make_train_multi_step).  Logging/fetch cadence = one chunk.
+    K = tcfg.steps_per_call or max(1, min(tcfg.log_every_steps,
+                                          steps_per_epoch))
+    multi_step_fn = make_train_multi_step(
+        model, tcfg, opt, mesh=mesh, feature_banks=train_banks
+    )
     step = start_step
     final_metrics: Dict[str, float] = {}
 
     epoch0 = start_step // steps_per_epoch
     for epoch in range(epoch0, tcfg.num_epochs):
-        def _epoch_batches(e=epoch):
+        def _epoch_chunks(e=epoch):
+            buf = []
             for i, b in enumerate(ds.train_batches(
                 tcfg.batch_size, steps_per_epoch, seed=tcfg.seed + e,
                 sample_targets=(tcfg.target_sampling == "sample"),
@@ -94,46 +101,42 @@ def train(
                     b["dropout_rng"] = np.asarray(
                         [tcfg.seed + e + 1, i + 1], np.uint32
                     )
-                yield b
+                buf.append(b)
+                if len(buf) == K:
+                    yield _stack_chunk(buf)
+                    buf = []
+            if buf:
+                yield _stack_chunk(buf)
 
-        batches = Prefetcher(_epoch_batches, depth=tcfg.prefetch_depth)
-        # Fetch device scalars ONLY at log boundaries: on this runtime a
-        # device->host scalar fetch costs a ~100 ms relay round-trip, so a
-        # per-step loss fetch would serialize the queue and dominate step
-        # time (observed 126 ms/step -> ~10 ms/step with batched fetches).
-        # Wall time between fetches is honest throughput: the fetch drains
-        # the dispatch queue, covering every step since the last one.
+        chunks = Prefetcher(_epoch_chunks, depth=tcfg.prefetch_depth)
+        # One fetch per chunk: a device->host scalar fetch costs ~100 ms of
+        # relay round-trip here, and each dispatch ~8 ms — fusing K steps
+        # per program and fetching once per chunk amortizes both.  The
+        # logged metrics are chunk means; wall time between fetches is
+        # honest throughput (the fetch drains the dispatch queue).
         t_last = time.perf_counter()
-        steps_since = 0
-        epoch_step = 0
-        for batch in batches:
-            params, opt_state, aux = step_fn(params, opt_state, batch)
-            step += 1
-            steps_since += 1
-            epoch_step += 1
-            # always flush at the epoch boundary so no log window leaks
-            # across evaluate()/checkpointing into the next epoch's timing
-            end_of_epoch = epoch_step >= steps_per_epoch
-            if step % tcfg.log_every_steps == 0 or end_of_epoch:
-                loss = float(aux["loss"])    # forces execution of the queue
-                now = time.perf_counter()
-                dt = (now - t_last) / max(steps_since, 1)
-                logger.log("train", step, {
-                    "epoch": epoch,
-                    "loss": loss,
-                    "loss_intra": float(aux["loss_intra"]),
-                    "loss_inter": float(aux["loss_inter"]),
-                    "train_r1": float(aux["train_r1"]),
-                    "grad_norm": float(aux["grad_norm"]),
-                    "step_ms": 1e3 * dt,
-                    "queries_per_sec": tcfg.batch_size / max(dt, 1e-9),
-                })
-                t_last = now
-                steps_since = 0
-                if not np.isfinite(loss):
-                    raise FloatingPointError(
-                        f"loss diverged at step {step}: {loss}"
-                    )
+        for chunk in chunks:
+            k = chunk["tokens"].shape[0]
+            params, opt_state, aux = multi_step_fn(params, opt_state, chunk)
+            step += k
+            loss = float(aux["loss"])        # forces execution
+            now = time.perf_counter()
+            dt = (now - t_last) / k
+            logger.log("train", step, {
+                "epoch": epoch,
+                "loss": loss,
+                "loss_intra": float(aux["loss_intra"]),
+                "loss_inter": float(aux["loss_inter"]),
+                "train_r1": float(aux["train_r1"]),
+                "grad_norm": float(aux["grad_norm"]),
+                "step_ms": 1e3 * dt,
+                "queries_per_sec": tcfg.batch_size / max(dt, 1e-9),
+            })
+            t_last = now
+            if not np.isfinite(loss):
+                raise FloatingPointError(
+                    f"loss diverged at step {step}: {loss}"
+                )
 
         metrics = evaluate(params, model, val_ds, cfg.eval,
                            feature_banks=val_banks)
@@ -164,3 +167,7 @@ def load_for_eval(cfg: ExperimentConfig, bundle: Optional[DataBundle] = None):
     if ckpt:
         _, params, _, _ = restore_checkpoint(ckpt, params, None)
     return params, model, bundle
+
+def _stack_chunk(batches):
+    """Stack a list of batch dicts along a new leading step axis [K, ...]."""
+    return jax.tree.map(lambda *xs: np.stack(xs), *batches)

@@ -108,3 +108,72 @@ def make_train_step(
         return jitted(params, opt_state, batch, dropout_rng, banks)
 
     return step
+
+
+def make_train_multi_step(
+    model: Model,
+    tcfg: TrainConfig,
+    optimizer: optax.GradientTransformation,
+    mesh: Optional[jax.sharding.Mesh] = None,
+    data_axis: str = "data",
+    feature_banks: Optional[Dict[str, jnp.ndarray]] = None,
+):
+    """K fused optimizer steps per dispatch: ``lax.scan`` over a stacked
+    chunk of batches inside ONE compiled program.
+
+    Why: per-program dispatch costs dominate this runtime (measured ~8 ms
+    launch overhead vs ~0.5 ms of actual step compute at didemo_fusion
+    scale); scanning K steps amortizes it K-fold.  Requires device-resident
+    ``feature_banks`` so the scanned batch leaves are only ids/tokens.
+
+    Returns ``multi_step(params, opt_state, chunk) -> (params, opt_state,
+    aux_mean)`` where ``chunk`` is a batch dict with a leading step axis
+    [K, B, ...] (optionally containing ``dropout_rng`` [K, 2]) and
+    ``aux_mean`` averages the per-step metrics.  Distinct K values compile
+    once each (jit shape cache)."""
+
+    def _multi(params, opt_state, chunk, rngs, banks):
+        def body(carry, xs):
+            p, s = carry
+            batch, rng = xs
+            (loss, aux), grads = jax.value_and_grad(
+                lambda pp: loss_from_batch(pp, model, tcfg, batch, rng, banks),
+                has_aux=True,
+            )(p)
+            updates, s = optimizer.update(grads, s, p)
+            p = optax.apply_updates(p, updates)
+            aux["grad_norm"] = optax.global_norm(grads)
+            return (p, s), aux
+
+        (params, opt_state), auxs = jax.lax.scan(
+            body, (params, opt_state), (chunk, rngs)
+        )
+        aux_mean = jax.tree.map(lambda x: jnp.mean(x, axis=0), auxs)
+        return params, opt_state, aux_mean
+
+    if mesh is None:
+        jitted = jax.jit(_multi, donate_argnums=(0, 1))
+        banks = feature_banks
+    else:
+        repl = jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec())
+        chunk_sh = jax.sharding.NamedSharding(
+            mesh, jax.sharding.PartitionSpec(None, data_axis)
+        )
+        jitted = jax.jit(
+            _multi,
+            in_shardings=(repl, repl, chunk_sh, repl, repl),
+            out_shardings=(repl, repl, repl),
+            donate_argnums=(0, 1),
+        )
+        banks = (
+            jax.device_put(feature_banks, repl)
+            if feature_banks is not None
+            else None
+        )
+
+    def multi_step(params, opt_state, chunk):
+        chunk = dict(chunk)
+        rngs = chunk.pop("dropout_rng", None)   # [K, 2] or None, replicated
+        return jitted(params, opt_state, chunk, rngs, banks)
+
+    return multi_step
