@@ -53,6 +53,20 @@ def test_official_ranks_vectorized():
     np.testing.assert_allclose(r, [0.5, 3.0])
 
 
+def test_official_hit_boundary():
+    """The official R@k test is 1-based mean <= k (0-based <= k-1):
+    fractional means in (k-1, k) are MISSES (ADVICE r1 medium)."""
+    from vfr_tpu.eval.moment_eval import _official_hit
+
+    ranks = np.array([0.0, 3.9, 4.0, 4.1, 4.5, 5.0])
+    np.testing.assert_array_equal(
+        _official_hit(ranks, 5), [True, True, True, False, False, False]
+    )
+    np.testing.assert_array_equal(
+        _official_hit(ranks, 1), [True, False, False, False, False, False]
+    )
+
+
 def test_best_tiou_masking():
     pred = np.array([[[0.0, 5.0]]])            # [1,1,2]
     gt = np.array([[[0.0, 5.0], [20.0, 25.0]]])

@@ -13,8 +13,10 @@ Two protocols (EvalConfig.protocol):
 
 ``didemo_official`` (MCN-paper rank aggregation): per query, rank = mean of
   the best-3 ranks of the annotator GT proposals in the predicted order;
-  R@k = fraction with rank < k; mIoU = mean of the best-3 tIoUs between the
-  top-1 prediction and the annotator spans.
+  R@k = fraction with 1-based mean rank <= k (equivalently 0-based mean
+  <= k-1 — fractional means in (k-1, k) 0-based are misses, matching the
+  canonical LocalizingMoments `average_rank <= k` test); mIoU = mean of the
+  best-3 tIoUs between the top-1 prediction and the annotator spans.
 """
 
 from __future__ import annotations
@@ -35,11 +37,15 @@ from vfr_tpu.models.mcn import (
 from vfr_tpu.ops.tiou import tiou
 
 
-def make_scorer(model: Model, feature_banks=None):
+def make_scorer(model: Model, feature_banks=None, rnn_kernel: str = "scan"):
     """Jitted ``(params, batch) -> D [B, P]`` fused distances (lower=better).
 
     With ``feature_banks`` (stream -> [V, C, F] device-resident) batches
-    carry only ``video_idx`` and features are gathered in HBM."""
+    carry only ``video_idx`` and features are gathered in HBM.
+
+    ``rnn_kernel`` defaults to the f32 lax.scan twin so reported metrics are
+    at training precision (EvalConfig.rnn_kernel); pass "pallas" to score at
+    serving precision (bf16 VMEM-resident weights)."""
 
     @jax.jit
     def score(params, batch, banks):
@@ -51,7 +57,8 @@ def make_scorer(model: Model, feature_banks=None):
         else:
             feats = {s: batch[s] for s in model.streams}
         q = embed_queries_multi(
-            params, model, batch["tokens"], batch["lengths"], inference=True
+            params, model, batch["tokens"], batch["lengths"], inference=True,
+            rnn_kernel=rnn_kernel,
         )
         m = embed_moments(
             params, model, feats,
@@ -105,7 +112,8 @@ def evaluate(
         feature_banks = jax.device_put(
             {k: jnp.asarray(v) for k, v in dataset.feature_banks().items()}
         )
-    score = make_scorer(model, feature_banks)
+    score = make_scorer(model, feature_banks,
+                        rnn_kernel=getattr(ecfg, "rnn_kernel", "scan"))
 
     hits = {(k, t): 0.0 for k in ks for t in taus}
     miou_sum, n_queries = 0.0, 0
@@ -132,7 +140,9 @@ def evaluate(
         if ecfg.protocol == "didemo_official" and "gt_prop_idx" in batch:
             ranks = _official_ranks(order, batch["gt_prop_idx"])
             for k in ks:
-                official_rank_sum[k] += float(((ranks < k) & valid).sum())
+                official_rank_sum[k] += float(
+                    (_official_hit(ranks, k) & valid).sum()
+                )
             official_miou_sum += float(
                 (_official_miou(pred_spans[:, 0], batch) * valid).sum()
             )
@@ -166,6 +176,16 @@ def _official_ranks(order: np.ndarray, gt_prop_idx: np.ndarray) -> np.ndarray:
     cnt = np.minimum((gt_prop_idx >= 0).sum(axis=1), 3)
     r_sorted = np.where(np.isfinite(r_sorted), r_sorted, 0.0)
     return r_sorted.sum(axis=1) / np.maximum(cnt, 1)
+
+
+def _official_hit(ranks: np.ndarray, k: int) -> np.ndarray:
+    """R@k hit mask from 0-based mean ranks.
+
+    The canonical LocalizingMoments test is 1-based ``average_rank <= k``,
+    i.e. 0-based ``mean <= k - 1``.  A strict ``< k`` would count fractional
+    means in (k-1, k) as hits and inflate R@k_official.
+    """
+    return ranks <= k - 1
 
 
 def _official_miou(pred_top1: np.ndarray, batch) -> np.ndarray:
