@@ -146,3 +146,96 @@ class TestCorpusRetrieval:
         for key in m1:
             np.testing.assert_allclose(m1[key], m2[key], rtol=1e-3, atol=1e-3,
                                        err_msg=key)
+
+
+class TestIndexDtype:
+    def test_bf16_index_ranking_parity(self, trained):
+        """bf16 moment index (EvalConfig.index_dtype) must agree with the
+        f32 ranking: top-10 of bf16 contained in f32's top-20 (>= 90%), and
+        top-1 mostly identical — the recall-parity gate for the 2x HBM win."""
+        cfg, model, params, ds = trained
+        idx32 = build_moment_index(params, model, ds)
+        idx16 = build_moment_index(params, model, ds, index_dtype="bfloat16")
+        assert idx16.m.dtype == jnp.bfloat16
+        assert idx32.m.dtype == jnp.float32
+        b = next(ds.eval_batches(32))
+        toks, lens = jnp.asarray(b["tokens"]), jnp.asarray(b["lengths"])
+        d32, r32 = make_retriever(model, idx32, 20)(params, toks, lens)
+        d16, r16 = make_retriever(model, idx16, 10)(params, toks, lens)
+        r32, r16 = np.asarray(r32), np.asarray(r16)
+        contained = np.mean([
+            len(set(r16[i]) & set(r32[i])) / 10 for i in range(r16.shape[0])
+        ])
+        assert contained >= 0.9, contained
+        top1_agree = (r16[:, 0] == r32[:, 0]).mean()
+        assert top1_agree >= 0.8, top1_agree
+        assert np.isfinite(np.asarray(d16)).all()
+
+    def test_fused_select_retriever_matches_exact(self, trained):
+        """topk_method='fused' (Pallas distance+selection) must agree with
+        the exact retriever at high recall on the fixture."""
+        cfg, model, params, ds = trained
+        index = build_moment_index(params, model, ds)
+        b = next(ds.eval_batches(16))
+        toks, lens = jnp.asarray(b["tokens"]), jnp.asarray(b["lengths"])
+        d_ex, r_ex = make_retriever(model, index, 10,
+                                    topk_method="exact")(params, toks, lens)
+        d_f, r_f = make_retriever(model, index, 10,
+                                  topk_method="fused")(params, toks, lens)
+        r_ex, r_f = np.asarray(r_ex), np.asarray(r_f)
+        recall = np.mean([
+            len(set(r_f[i]) & set(r_ex[i])) / 10 for i in range(r_f.shape[0])
+        ])
+        assert recall >= 0.9, recall
+        assert (r_f[:, 0] == r_ex[:, 0]).mean() >= 0.9
+        np.testing.assert_allclose(np.asarray(d_f)[:, 0],
+                                   np.asarray(d_ex)[:, 0], rtol=1e-4,
+                                   atol=1e-4)
+
+    def test_bad_index_dtype_rejected(self, trained):
+        cfg, model, params, ds = trained
+        with pytest.raises(ValueError):
+            build_moment_index(params, model, ds, index_dtype="int4")
+
+
+class TestCorpusOfficialProtocol:
+    def test_gt_ranker_matches_stable_argsort(self, trained):
+        """Counting-based corpus ranks == stable argsort positions (incl.
+        the tie-break by row id)."""
+        from vfr_tpu.eval.corpus import _embed_query_streams, make_gt_ranker
+
+        cfg, model, params, ds = trained
+        index = build_moment_index(params, model, ds)
+        b = next(ds.eval_batches(16))
+        P = ds.num_proposals
+        gt_rows = (
+            b["video_idx"][:, None] * P + np.maximum(b["gt_prop_idx"], 0)
+        ).astype(np.int32)
+        toks, lens = jnp.asarray(b["tokens"]), jnp.asarray(b["lengths"])
+        ranker = make_gt_ranker(model, index, "scan")
+        got = np.asarray(ranker(params, toks, lens, jnp.asarray(gt_rows)))
+
+        qs = _embed_query_streams(params, model, toks, lens, "scan")
+        D = np.asarray(fused_corpus_distances(qs, index.m, index.m_sq,
+                                              index.weights))
+        order = np.argsort(D, axis=1, kind="stable")
+        position = np.empty_like(order)
+        np.put_along_axis(
+            position, order,
+            np.broadcast_to(np.arange(D.shape[1]), D.shape).astype(order.dtype),
+            axis=1,
+        )
+        expect = np.take_along_axis(position, gt_rows, axis=1)
+        np.testing.assert_array_equal(got, expect)
+
+    def test_corpus_official_metrics_present_and_sane(self, trained):
+        import dataclasses
+
+        cfg, model, params, ds = trained
+        ecfg = dataclasses.replace(cfg.eval, protocol="didemo_official")
+        m = corpus_evaluate(params, model, ds, ecfg)
+        assert "corpus_R@1_official" in m and "corpus_R@5_official" in m
+        assert 0.0 <= m["corpus_R@1_official"] <= m["corpus_R@5_official"] <= 1.0
+        # trained fixture model: best-3 GT rows rank into the top 5 of a
+        # 504-row corpus far above the ~1% chance band
+        assert m["corpus_R@5_official"] > 0.05, m

@@ -143,8 +143,15 @@ def main(argv=None) -> int:
         if args.debug_nans:
             jax.config.update("jax_debug_nans", True)
         mesh = None
-        if args.data_parallel and len(jax.devices()) > 1:
-            mesh = make_mesh(("data",))
+        if args.data_parallel:
+            if len(jax.devices()) > 1:
+                mesh = make_mesh(("data",))
+            else:
+                print(
+                    "[warn] --data-parallel requested but only 1 device is "
+                    "visible; running single-chip (no DP mesh)",
+                    file=sys.stderr,
+                )
         with maybe_trace(args.trace_dir):
             _, metrics = train(cfg, resume=args.resume, mesh=mesh)
         print({k: round(v, 4) for k, v in metrics.items()})
@@ -198,6 +205,7 @@ def main(argv=None) -> int:
             num_videos=cfg.eval.corpus_num_videos,
             topk_method=cfg.eval.topk_method,
             approx_recall=cfg.eval.approx_recall,
+            index_dtype=cfg.eval.index_dtype,
         ):
             print(json.dumps(rec))
         return 0

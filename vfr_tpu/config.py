@@ -71,6 +71,13 @@ class ModelConfig:
     compute_dtype: str = "float32"      # "bfloat16" on TPU for MXU speed
     use_pallas: str = "auto"            # "auto" | "always" | "never"
     moment_impl: str = "factored"       # "factored" (TPU-first) | "direct"
+    # Training-path LSTM implementation: "fused" = custom-VJP layout (input
+    # GEMM hoisted out of the scan; every weight gradient one sequence-sized
+    # GEMM — see ops/lstm.py::lstm_forward_fused); "scan" = plain lax.scan
+    # autodiff.  Gradient-parity-tested interchangeable
+    # (tests/test_lstm_fused.py); default follows the step-time measurement
+    # in docs/DESIGN.md.
+    train_rnn_impl: str = "fused"
 
 
 @dataclass(frozen=True)
@@ -122,6 +129,17 @@ class EvalConfig:
     # [128 x 210k], k=100 for a 0.95 recall target)
     topk_method: str = "exact"
     approx_recall: float = 0.95
+    # Query-RNN implementation for METRICS eval: "scan" = the f32 lax.scan
+    # twin (same precision as training — reported metrics are bit-comparable
+    # to the trained model); "pallas" = the VMEM-resident bf16-weight kernel
+    # (serving precision).  Serving paths (serve/bench) default to pallas
+    # via the use_pallas policy regardless of this knob.
+    rnn_kernel: str = "scan"
+    # Moment-index storage dtype for corpus retrieval/serving: "bfloat16"
+    # halves HBM traffic on the bandwidth-bound distance stage (the index is
+    # streamed in full per query batch); distances accumulate in f32 either
+    # way.  "float32" = exact.
+    index_dtype: str = "float32"
 
 
 @dataclass(frozen=True)
@@ -227,7 +245,11 @@ _register(ExperimentConfig(
                       compute_dtype="bfloat16"),
     train=TrainConfig(),
     eval=EvalConfig(corpus_shards=8, corpus_topk=100, corpus_query_batch=256,
-                    topk_method="approx"),
+                    topk_method="approx",
+                    # bf16 index: halves the HBM bytes of the bandwidth-bound
+                    # distance stage; ranking parity vs f32 is gated by
+                    # tests/test_corpus.py::TestIndexDtype
+                    index_dtype="bfloat16"),
 ))
 
 

@@ -54,7 +54,7 @@ class MomentIndex:
 
 def build_moment_index(
     params, model: Model, dataset, batch_size: int = 128,
-    num_videos: int = 0,
+    num_videos: int = 0, index_dtype: str = "float32",
 ) -> MomentIndex:
     V_all = dataset.rgb_feats.shape[0]
     V = min(num_videos, V_all) if num_videos else V_all
@@ -88,6 +88,15 @@ def build_moment_index(
         # vectors is sum_s w_s*(2 - 2cos_s), an affine transform of the
         # fused cosine distance — identical ranking, one code path.
         flat = flat / (np.linalg.norm(flat, axis=-1, keepdims=True) + 1e-8)
+    store_dtype = jnp.float32
+    if index_dtype == "bfloat16":
+        # Quantize BEFORE the norm so |m|^2 matches the stored rows exactly
+        # (otherwise the -2qm term and the m_sq term disagree at bf16 scale).
+        # Halves the HBM bytes of the bandwidth-bound distance stage.
+        store_dtype = jnp.bfloat16
+        flat = np.asarray(jnp.asarray(flat, jnp.bfloat16).astype(jnp.float32))
+    elif index_dtype != "float32":
+        raise ValueError(f"unknown index_dtype {index_dtype!r}")
     m_sq = (flat.astype(np.float64) ** 2).sum(-1).astype(np.float32)
     video_row = np.repeat(np.arange(V, dtype=np.int32), P)
     prop_idx = np.tile(np.arange(P, dtype=np.int32), V)
@@ -100,7 +109,7 @@ def build_moment_index(
         spans_sec = np.tile(np.asarray(dataset.span_seconds), (V, 1))
 
     return MomentIndex(
-        m=jnp.asarray(flat),
+        m=jnp.asarray(flat, store_dtype),
         m_sq=jnp.asarray(m_sq),
         video_row=video_row,
         prop_idx=prop_idx,
@@ -109,11 +118,13 @@ def build_moment_index(
     )
 
 
-def _embed_query_streams(params, model: Model, tokens, lengths) -> jnp.ndarray:
+def _embed_query_streams(params, model: Model, tokens, lengths,
+                         rnn_kernel=None) -> jnp.ndarray:
     """[S, Q, d]: shared LSTM trunk; per-stream or shared projection per
     ModelConfig.per_stream_query_proj.  Cosine mode normalizes (the index
     rows are stored normalized — see build_moment_index)."""
-    qs = embed_queries_multi(params, model, tokens, lengths, inference=True)
+    qs = embed_queries_multi(params, model, tokens, lengths, inference=True,
+                             rnn_kernel=rnn_kernel)
     if model.cfg.distance == "cosine":
         qs = qs / (jnp.linalg.norm(qs, axis=-1, keepdims=True) + 1e-8)
     return qs
@@ -127,6 +138,7 @@ def make_retriever(
     axis: str = "corpus",
     topk_method: str = "exact",
     approx_recall: float = 0.95,
+    rnn_kernel: Optional[str] = None,
 ):
     """Jitted ``(params, tokens, lengths) -> (dists [Q,k], rows [Q,k])``.
 
@@ -134,6 +146,12 @@ def make_retriever(
     PartialReduce): measured 0.12 ms vs 8.97 ms exact at [128 x 210k] k=100,
     i.e. the selection stage stops dominating the serving path.  Exact is
     the eval default; serving presets opt into approx.
+
+    ``topk_method="fused"`` runs the Pallas distance+selection kernel
+    (ops/pallas/select_kernel.py): distances and PartialReduce-style bin
+    minima in one VMEM pass — the [Q, N] score tensor never exists in HBM —
+    followed by an exact top-k over the N/64 surviving candidates.  Same
+    recall semantics as approx (single-device path only).
 
     Distance config: sqeuclidean natively; cosine via normalized index rows
     + queries (rank-equivalent — see build_moment_index); euclidean is rank-
@@ -157,9 +175,33 @@ def make_retriever(
         pallas_on = model.cfg.use_pallas == "always"
         w_tuple = tuple(float(w) for w in model.cfg.stream_weights)
 
+        if topk_method == "fused":
+            from vfr_tpu.ops.pallas.select_kernel import pallas_distance_select
+
+            # keep >= ~4k surviving candidates so the exact final top-k has
+            # headroom (tiny corpora would otherwise lose recall to coarse
+            # bins; at 210k rows this resolves to the default bin of 64)
+            bin_size = 64
+            while bin_size > 1 and index.num_rows // bin_size < 4 * k:
+                bin_size //= 2
+
+            @jax.jit
+            def retrieve(params, tokens, lengths):
+                qs = _embed_query_streams(params, model, tokens, lengths,
+                                          rnn_kernel)
+                cand_d, cand_rows = pallas_distance_select(
+                    qs, index.m, index.m_sq, w_tuple, bin_size=bin_size
+                )
+                vals, pos = jax.lax.top_k(-cand_d, min(k, cand_d.shape[1]))
+                rows = jnp.take_along_axis(cand_rows, pos, axis=1)
+                return -vals, rows
+
+            return retrieve
+
         @jax.jit
         def retrieve(params, tokens, lengths):
-            qs = _embed_query_streams(params, model, tokens, lengths)
+            qs = _embed_query_streams(params, model, tokens, lengths,
+                                      rnn_kernel)
             if pallas_on:
                 D = pallas_fused_distances(qs, index.m, index.m_sq, w_tuple,
                                            compute_dtype=compute_dtype)
@@ -181,7 +223,7 @@ def make_retriever(
 
     @jax.jit
     def retrieve(params, tokens, lengths):
-        qs = _embed_query_streams(params, model, tokens, lengths)
+        qs = _embed_query_streams(params, model, tokens, lengths, rnn_kernel)
         return sharded_corpus_topk(
             mesh, qs, m, m_sq, index.weights, k, axis=axis,
             compute_dtype=compute_dtype, method=topk_method,
@@ -209,13 +251,15 @@ def serve_queries(
     mesh: Optional[jax.sharding.Mesh] = None, batch_size: int = 128,
     max_query_len: int = 24, num_videos: int = 0,
     topk_method: str = "exact", approx_recall: float = 0.95,
+    index_dtype: str = "float32",
 ):
     """Large-scale serving (BASELINE.json:11): answer free-text queries
     against the cached moment index; returns a list of
     ``{"query", "results": [{"video", "start", "end", "distance"}]}``."""
     from vfr_tpu.data.glove import tokenize
 
-    index = build_moment_index(params, model, dataset, num_videos=num_videos)
+    index = build_moment_index(params, model, dataset, num_videos=num_videos,
+                               index_dtype=index_dtype)
     retrieve = make_retriever(model, index, min(k, index.num_rows), mesh=mesh,
                               topk_method=topk_method,
                               approx_recall=approx_recall)
@@ -243,19 +287,68 @@ def serve_queries(
     return out
 
 
+def make_gt_ranker(model: Model, index: MomentIndex,
+                   rnn_kernel: Optional[str] = None):
+    """Jitted exact corpus ranks of given index rows (official protocol).
+
+    ``(params, tokens, lengths, gt_rows [Q, A]) -> ranks [Q, A]`` where
+    rank = 0-based position of each GT row in the full corpus ordering.
+    Computed by counting, not sorting: rank(r) = #{rows with smaller
+    distance} + #{equal-distance rows with smaller row id} — exactly the
+    stable-argsort position eval/moment_eval uses per-video, without ever
+    materializing a [Q, N] argsort."""
+    compute_dtype = model.compute_dtype
+
+    @jax.jit
+    def ranks(params, tokens, lengths, gt_rows):
+        qs = _embed_query_streams(params, model, tokens, lengths, rnn_kernel)
+        D = fused_corpus_distances(qs, index.m, index.m_sq, index.weights,
+                                   compute_dtype)             # [Q, N]
+        row_ids = jnp.arange(D.shape[1], dtype=jnp.int32)
+        out = []
+        for a in range(gt_rows.shape[1]):                     # A static (<=4)
+            g = jnp.clip(gt_rows[:, a], 0, D.shape[1] - 1)
+            d_g = jnp.take_along_axis(D, g[:, None], axis=1)  # [Q, 1]
+            less = jnp.sum((D < d_g).astype(jnp.int32), axis=1)
+            tie = jnp.sum(
+                ((D == d_g) & (row_ids[None, :] < g[:, None])).astype(jnp.int32),
+                axis=1,
+            )
+            out.append(less + tie)
+        return jnp.stack(out, axis=1)                         # [Q, A]
+
+    return ranks
+
+
 def corpus_evaluate(
     params, model: Model, dataset, ecfg: EvalConfig,
     mesh: Optional[jax.sharding.Mesh] = None,
 ) -> Dict[str, float]:
     index = build_moment_index(
-        params, model, dataset, num_videos=ecfg.corpus_num_videos
+        params, model, dataset, num_videos=ecfg.corpus_num_videos,
+        index_dtype=getattr(ecfg, "index_dtype", "float32"),
     )
+    rnn_kernel = getattr(ecfg, "rnn_kernel", "scan")
     ks = tuple(ecfg.recall_ks)
     taus = tuple(ecfg.tiou_thresholds)
     kmax = min(max(max(ks), 10), index.num_rows)
     retrieve = make_retriever(model, index, kmax, mesh=mesh,
                               topk_method=ecfg.topk_method,
-                              approx_recall=ecfg.approx_recall)
+                              approx_recall=ecfg.approx_recall,
+                              rnn_kernel=rnn_kernel)
+    # Official rank-aggregation protocol at corpus scale (the per-video
+    # variant's capability twin): mean of the best-3 CORPUS ranks of the
+    # annotator GT rows, R@k = fraction with 1-based mean <= k.
+    official = (
+        ecfg.protocol == "didemo_official"
+        and hasattr(dataset, "num_proposals")
+        and mesh is None          # exact full-index ranks; single-device path
+    )
+    if official:
+        gt_ranker = make_gt_ranker(model, index, rnn_kernel)
+        P = dataset.num_proposals
+        n_official = 0
+        official_rank_sum = {k: 0.0 for k in ks}
 
     hits = {(k, t): 0.0 for k in ks for t in taus}
     video_hits = {k: 0.0 for k in ks}
@@ -277,10 +370,37 @@ def corpus_evaluate(
             video_hits[k] += float((vid_ok[:, :k].any(axis=1) & valid).sum())
         n += int(valid.sum())
 
+        if official and "gt_prop_idx" in batch:
+            gt_prop = batch["gt_prop_idx"]                    # [Q, A], -1 pad
+            in_corpus = batch["video_idx"] < index.num_videos
+            gt_rows = batch["video_idx"][:, None] * P + np.maximum(gt_prop, 0)
+            r = np.asarray(gt_ranker(
+                params, jnp.asarray(batch["tokens"]),
+                jnp.asarray(batch["lengths"]),
+                jnp.asarray(gt_rows.astype(np.int32)),
+            )).astype(np.float64)                             # [Q, A]
+            r = np.where(gt_prop >= 0, r, np.inf)
+            r3 = np.sort(r, axis=1)[:, :3]
+            cnt = np.minimum((gt_prop >= 0).sum(axis=1), 3)
+            mean_rank = np.where(np.isfinite(r3), r3, 0.0).sum(axis=1) \
+                / np.maximum(cnt, 1)
+            q_ok = valid & in_corpus
+            from vfr_tpu.eval.moment_eval import _official_hit
+            for k in ks:
+                official_rank_sum[k] += float(
+                    (_official_hit(mean_rank, k) & q_ok).sum()
+                )
+            n_official += int(q_ok.sum())
+
     out: Dict[str, float] = {"corpus_num_rows": float(index.num_rows)}
     for k in ks:
         for t in taus:
             out[f"corpus_R@{k}_tiou{t}"] = hits[(k, t)] / max(n, 1)
         out[f"corpus_video_R@{k}"] = video_hits[k] / max(n, 1)
     out["num_queries"] = float(n)
+    if official:
+        for k in ks:
+            out[f"corpus_R@{k}_official"] = (
+                official_rank_sum[k] / max(n_official, 1)
+            )
     return out

@@ -28,6 +28,7 @@ from vfr_tpu.ops.lstm import (
     init_gru_params,
     init_lstm_params,
     lstm_forward,
+    lstm_forward_fused,
 )
 
 
@@ -119,22 +120,70 @@ def use_pallas(cfg: ModelConfig) -> bool:
     return jax.default_backend() == "tpu"
 
 
+_pallas_rnn_logged = False
+
+
+def _log_pallas_rnn_once(cell: str) -> None:
+    """One-time notice that inference runs the bf16-weight Pallas kernel.
+
+    The precision differs from the f32 training path (ADVICE r1); eval
+    protocols default to the scan twin (EvalConfig.rnn_kernel="scan") and
+    serving opts into the kernel — this log makes the choice visible."""
+    global _pallas_rnn_logged
+    if not _pallas_rnn_logged:
+        import sys
+
+        print(
+            f"[vfr_tpu] query {cell}: Pallas VMEM-resident kernel "
+            "(bf16 weights, f32 accumulation) — serving precision",
+            file=sys.stderr,
+        )
+        _pallas_rnn_logged = True
+
+
 def _query_hidden(
     params: Dict, model: Model, tokens: jnp.ndarray, lengths: jnp.ndarray,
     inference: bool, dropout_rng: Optional[jnp.ndarray] = None,
+    rnn_kernel: Optional[str] = None,
 ) -> jnp.ndarray:
-    """Shared GloVe -> LSTM trunk; returns h_last [B, H]."""
+    """Shared GloVe -> LSTM trunk; returns h_last [B, H].
+
+    ``rnn_kernel``: None = the use_pallas policy (Pallas on TPU inference);
+    "scan" forces the f32 lax.scan twin (training precision — metrics eval
+    uses this, EvalConfig.rnn_kernel); "pallas" requests the VMEM-resident
+    kernel (bf16 weights at large H — serving precision).
+    """
     table = params["embeddings"]
     if model.freeze_embeddings:
         table = jax.lax.stop_gradient(table)
     x = jnp.take(table, tokens, axis=0)          # [B, T, E]
+    if rnn_kernel is None:
+        want_kernel = inference and use_pallas(model.cfg)
+    else:
+        want_kernel = (
+            inference and rnn_kernel == "pallas"
+            and model.cfg.use_pallas != "never"
+        )
     if model.cfg.rnn_cell == "gru":
-        # (Pallas GRU kernel: future work — scan handles both paths)
-        h_last, _ = gru_forward(params["lstm"], x, lengths, model.compute_dtype)
-    elif inference and use_pallas(model.cfg):
+        if want_kernel:
+            from vfr_tpu.ops.pallas.gru_kernel import pallas_gru
+
+            _log_pallas_rnn_once("GRU")
+            h_last, _ = pallas_gru(params["lstm"], x, lengths,
+                                   model.compute_dtype)
+        else:
+            h_last, _ = gru_forward(params["lstm"], x, lengths,
+                                    model.compute_dtype)
+    elif want_kernel:
         from vfr_tpu.ops.pallas.lstm_kernel import pallas_lstm
 
+        _log_pallas_rnn_once("LSTM")
         h_last, _ = pallas_lstm(params["lstm"], x, lengths, model.compute_dtype)
+    elif not inference and model.cfg.train_rnn_impl == "fused":
+        # custom-VJP fused layout: hoisted input GEMM + sequence-sized
+        # weight-gradient GEMMs (grad-parity-tested vs scan + torch)
+        h_last, _ = lstm_forward_fused(params["lstm"], x, lengths,
+                                       model.compute_dtype)
     else:
         h_last, _ = lstm_forward(params["lstm"], x, lengths, model.compute_dtype)
     rate = model.cfg.query_dropout
@@ -152,19 +201,21 @@ def _maybe_normalize(cfg: ModelConfig, v: jnp.ndarray) -> jnp.ndarray:
 
 def embed_queries(
     params: Dict, model: Model, tokens: jnp.ndarray, lengths: jnp.ndarray,
-    inference: bool = False,
+    inference: bool = False, rnn_kernel: Optional[str] = None,
 ) -> jnp.ndarray:
     """tokens [B, T] int32, lengths [B] -> [B, d] float32 (shared projection).
 
-    ``inference=True`` engages the Pallas VMEM-resident-weight LSTM kernel
-    (per use_pallas dispatch); training always differentiates through the
-    lax.scan twin — the two are parity-tested interchangeable.
+    ``inference=True`` engages the Pallas VMEM-resident-weight RNN kernel
+    (per use_pallas dispatch, overridable via ``rnn_kernel``); training
+    always differentiates through the lax.scan twin — the two are
+    parity-tested interchangeable.
     """
     if model.cfg.per_stream_query_proj:
         raise ValueError(
             "per_stream_query_proj=True: use embed_queries_multi()"
         )
-    h_last = _query_hidden(params, model, tokens, lengths, inference)
+    h_last = _query_hidden(params, model, tokens, lengths, inference,
+                           rnn_kernel=rnn_kernel)
     q = _linear(params["query_proj"], h_last, model.compute_dtype)
     return _maybe_normalize(model.cfg, q)
 
@@ -172,6 +223,7 @@ def embed_queries(
 def embed_queries_multi(
     params: Dict, model: Model, tokens: jnp.ndarray, lengths: jnp.ndarray,
     inference: bool = False, dropout_rng: Optional[jnp.ndarray] = None,
+    rnn_kernel: Optional[str] = None,
 ) -> jnp.ndarray:
     """Per-stream query embeddings [S, B, d].
 
@@ -179,7 +231,7 @@ def embed_queries_multi(
     ``per_stream_query_proj`` each stream applies its own FC over the shared
     LSTM trunk (MCN's separately-trained-towers topology)."""
     h_last = _query_hidden(params, model, tokens, lengths, inference,
-                           dropout_rng)
+                           dropout_rng, rnn_kernel=rnn_kernel)
     cfg = model.cfg
     if cfg.per_stream_query_proj:
         qs = [

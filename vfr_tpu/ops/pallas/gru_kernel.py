@@ -1,0 +1,177 @@
+"""Pallas GRU: weights VMEM-resident across ALL timesteps (BASELINE.json:5).
+
+Structural twin of ops/pallas/lstm_kernel.py — grid = (T,), constant weight
+index maps so the gate matrices are DMA'd into VMEM once and reused every
+step, recurrent h in VMEM scratch.  GRU specifics vs the LSTM kernel: torch
+(r, z, n) gate order, and the two bias vectors stay SEPARATE because the
+n-gate needs ``r * (W_hn h + b_hn)`` — the hidden-side gate pre-activation
+must be kept apart from the input-side one (ops/lstm.py init_gru_params).
+Padded steps (t >= length) freeze the carry, matching ops.lstm.gru_forward
+exactly (parity-tested in tests/test_pallas.py incl. the torch oracle chain
+via tests/test_gru.py's scan twin).
+
+Used on inference paths (eval / serving / bench); training differentiates
+through the lax.scan twin.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _kernel(x_ref, len_ref, wih_ref, whh_ref, bih_ref, bhh_ref, hlast_ref,
+            hs_ref, h_scr, *, compute_dtype):
+    t = pl.program_id(0)
+    T = pl.num_programs(0)
+    H = h_scr.shape[1]
+
+    @pl.when(t == 0)
+    def _():
+        h_scr[:] = jnp.zeros_like(h_scr)
+
+    x_t = x_ref[0]                                         # [B, E] (time-major)
+    w_dt = wih_ref.dtype                                   # weights as stored
+    gi = (
+        jax.lax.dot_general(
+            x_t.astype(w_dt), wih_ref[:],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        + bih_ref[0, :][None, :]
+    )                                                      # [B, 3H]
+    gh = (
+        jax.lax.dot_general(
+            h_scr[:].astype(w_dt), whh_ref[:],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        + bhh_ref[0, :][None, :]
+    )                                                      # [B, 3H]
+    r = jax.nn.sigmoid(gi[:, 0 * H : 1 * H] + gh[:, 0 * H : 1 * H])
+    z = jax.nn.sigmoid(gi[:, 1 * H : 2 * H] + gh[:, 1 * H : 2 * H])
+    n = jnp.tanh(gi[:, 2 * H : 3 * H] + r * gh[:, 2 * H : 3 * H])
+    h_new = (1.0 - z) * n + z * h_scr[:]
+
+    live = t < len_ref[:]                                  # [B, 1]
+    h_scr[:] = jnp.where(live, h_new, h_scr[:])
+    hs_ref[0] = h_scr[:]
+
+    @pl.when(t == T - 1)
+    def _():
+        hlast_ref[:] = h_scr[:]
+
+
+def pallas_gru_fits_vmem(
+    B: int, E: int, H: int, weights_bytes: int = 2, budget: int = 15 << 20
+) -> bool:
+    """Conservative VMEM estimate for one kernel invocation.
+
+    Same accounting as pallas_lstm_fits_vmem with 3H gates instead of 4H
+    and a single h scratch (no cell state) — the GRU actually has MORE
+    headroom than the LSTM at equal (B, E, H)."""
+    weights = (E + H) * 3 * H * weights_bytes
+    x_blocks = 2 * B * E * 4
+    hs_blocks = 2 * B * H * 4
+    scratch = B * H * 4
+    out = B * H * 4
+    bias = 2 * 3 * H * 4
+    return weights + x_blocks + hs_blocks + scratch + out + bias <= budget
+
+
+def _pallas_gru_layer(
+    x: jnp.ndarray,        # [B, T, E]
+    lengths: jnp.ndarray,  # [B] int32
+    w_ih: jnp.ndarray,     # [E, 3H]
+    w_hh: jnp.ndarray,     # [H, 3H]
+    b_ih: jnp.ndarray,     # [3H]
+    b_hh: jnp.ndarray,     # [3H]
+    compute_dtype,
+    interpret: bool,
+    weights_dtype=jnp.bfloat16,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    B, T, E = x.shape
+    H = w_hh.shape[0]
+    # Weights cast once, VMEM-resident in that dtype (bf16 default to fit
+    # H=1024); gate GEMMs accumulate in f32 (preferred_element_type).
+    w_ih = w_ih.astype(weights_dtype)
+    w_hh = w_hh.astype(weights_dtype)
+    x_tm = jnp.swapaxes(x, 0, 1)                 # [T, B, E] time-major
+    h_last, hs_tm = pl.pallas_call(
+        functools.partial(_kernel, compute_dtype=compute_dtype),
+        grid=(T,),
+        in_specs=[
+            pl.BlockSpec((1, B, E), lambda t: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, 1), lambda t: (0, 0), memory_space=pltpu.VMEM),
+            # constant index maps: weights stay VMEM-resident across steps
+            pl.BlockSpec((E, 3 * H), lambda t: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((H, 3 * H), lambda t: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 3 * H), lambda t: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 3 * H), lambda t: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((B, H), lambda t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, B, H), lambda t: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((B, H), jnp.float32),
+            jax.ShapeDtypeStruct((T, B, H), jnp.float32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((B, H), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * T * B * 3 * H * (E + H),
+            bytes_accessed=4 * (B * T * E + (E + H) * 3 * H + B * T * H),
+            transcendentals=3 * T * B * H,
+        ),
+        interpret=interpret,
+    )(x_tm, lengths.astype(jnp.int32).reshape(B, 1), w_ih, w_hh,
+      b_ih.reshape(1, -1), b_hh.reshape(1, -1))
+    return h_last, jnp.swapaxes(hs_tm, 0, 1)
+
+
+def pallas_gru(
+    params: Dict[str, Dict[str, jnp.ndarray]],
+    x: jnp.ndarray,
+    lengths: jnp.ndarray,
+    compute_dtype=jnp.float32,
+    interpret: bool = False,
+    weights_dtype=jnp.bfloat16,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Drop-in twin of ops.lstm.gru_forward (multi-layer chains kernels).
+
+    ``weights_dtype`` controls the VMEM-resident weight precision (bf16
+    default; pass float32 for bit-parity testing at small H).
+
+    Falls back to the lax.scan twin when the shape exceeds the VMEM budget
+    (pallas_gru_fits_vmem) — identical semantics either way."""
+    B = x.shape[0]
+    wb = jnp.dtype(weights_dtype).itemsize
+    for layer in range(len(params)):
+        p = params[f"layer{layer}"]
+        E, H3 = p["w_ih"].shape
+        if not pallas_gru_fits_vmem(B, E, H3 // 3, wb):
+            from vfr_tpu.ops.lstm import gru_forward
+
+            return gru_forward(params, x, lengths, compute_dtype)
+    hs = x
+    h_last = None
+    for layer in range(len(params)):
+        p = params[f"layer{layer}"]
+        h_last, hs = _pallas_gru_layer(
+            hs, lengths, p["w_ih"], p["w_hh"], p["b_ih"], p["b_hh"],
+            compute_dtype, interpret, weights_dtype=weights_dtype,
+        )
+    return h_last, hs

@@ -35,13 +35,19 @@ def fused_corpus_distances(
     weights: jnp.ndarray,  # [S]
     compute_dtype=jnp.float32,
 ) -> jnp.ndarray:
-    """Fused squared-euclidean distance [Q, N] = sum_s w_s * ||q_s - m_s||^2."""
+    """Fused squared-euclidean distance [Q, N] = sum_s w_s * ||q_s - m_s||^2.
+
+    The [N, d] index rows stream from HBM at their STORAGE dtype — a bf16
+    index (EvalConfig.index_dtype) halves the bytes of this bandwidth-bound
+    stage.  Queries are cast to match and the MXU accumulates in f32
+    (preferred_element_type), so only storage precision changes."""
     S = q.shape[0]
+    in_dt = m.dtype if m.dtype == jnp.bfloat16 else compute_dtype
     D = None
     for s in range(S):  # S is 1 or 2 — static unrolled
         qm = jnp.dot(
-            q[s].astype(compute_dtype),
-            m[s].T.astype(compute_dtype),
+            q[s].astype(in_dt),
+            m[s].T if m.dtype == in_dt else m[s].T.astype(in_dt),
             preferred_element_type=jnp.float32,
         )
         q_sq = jnp.sum(q[s] * q[s], axis=-1)[:, None]
