@@ -15,37 +15,13 @@ from vfr_tpu.ops.lstm import (
     init_lstm_params,
     lstm_forward,
 )
-from vfr_tpu.ops.pallas.distance_kernel import pallas_fused_distances
 from vfr_tpu.ops.pallas.gru_kernel import pallas_gru
 from vfr_tpu.ops.pallas.lstm_kernel import pallas_lstm
 from vfr_tpu.parallel.sharding import fused_corpus_distances
 
-
-class TestDistanceKernel:
-    @pytest.mark.parametrize("S,Q,N,d", [(1, 4, 64, 8), (2, 8, 200, 16)])
-    def test_matches_jnp_twin(self, S, Q, N, d):
-        rng = np.random.default_rng(0)
-        q = jnp.asarray(rng.standard_normal((S, Q, d)), jnp.float32)
-        m = jnp.asarray(rng.standard_normal((S, N, d)), jnp.float32)
-        m_sq = jnp.sum(m * m, axis=-1)
-        w = (1.0,) if S == 1 else (0.6, 0.4)
-        ref = fused_corpus_distances(q, m, m_sq, jnp.asarray(w))
-        out = pallas_fused_distances(q, m, m_sq, w, block_q=8, block_n=64,
-                                     interpret=True)
-        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
-                                   rtol=1e-4, atol=1e-4)
-
-    def test_unaligned_shapes_padded(self):
-        rng = np.random.default_rng(1)
-        q = jnp.asarray(rng.standard_normal((1, 5, 8)), jnp.float32)
-        m = jnp.asarray(rng.standard_normal((1, 77, 8)), jnp.float32)
-        m_sq = jnp.sum(m * m, axis=-1)
-        ref = fused_corpus_distances(q, m, m_sq, jnp.ones((1,)))
-        out = pallas_fused_distances(q, m, m_sq, (1.0,), block_q=8,
-                                     block_n=64, interpret=True)
-        assert out.shape == (5, 77)
-        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
-                                   rtol=1e-4, atol=1e-4)
+# (The r1 standalone distance kernel was deleted after losing to XLA's fused
+# matmul on-chip — 1.99 ms vs 1.11 ms f32 at [2, 210k, 128]; DESIGN.md
+# entry 7.  Its fused successor incl. selection lives in select_kernel.py.)
 
 
 class TestLSTMKernel:
@@ -186,6 +162,38 @@ class TestVMEMGuard:
         assert pallas_lstm_fits_vmem(128, 300, 1024)       # bench shape: fits
         assert not pallas_lstm_fits_vmem(256, 300, 1024)   # measured OOM
         assert pallas_lstm_fits_vmem(256, 300, 256)        # small H fits
+
+    def test_batch_chunk_selection(self):
+        from vfr_tpu.ops.pallas.lstm_kernel import batch_chunk
+
+        assert batch_chunk(256, lambda b: b <= 128) == 128
+        assert batch_chunk(256, lambda b: True) == 256
+        assert batch_chunk(300, lambda b: b <= 100) == 80   # 8-aligned halving
+        assert batch_chunk(256, lambda b: False) is None
+
+    def test_chunked_equals_unchunked(self):
+        """Batch chunking is semantically invisible (incl. ragged tail)."""
+        from vfr_tpu.ops.pallas.lstm_kernel import _run_batch_chunks
+
+        B, T, E, H = 10, 5, 8, 12
+        params = init_lstm_params(jax.random.PRNGKey(3), E, H)
+        x = jnp.asarray(
+            np.random.default_rng(3).standard_normal((B, T, E)), jnp.float32
+        )
+        lengths = jnp.asarray(
+            np.random.default_rng(4).integers(1, T + 1, B), jnp.int32
+        )
+
+        def run(xc, lc):
+            return pallas_lstm(params, xc, lc, interpret=True,
+                               weights_dtype=jnp.float32)
+
+        ref_h, ref_hs = run(x, lengths)
+        h, hs = _run_batch_chunks(run, x, lengths, chunk=4)  # ragged tail
+        np.testing.assert_allclose(np.asarray(h), np.asarray(ref_h),
+                                   rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(hs), np.asarray(ref_hs),
+                                   rtol=1e-5, atol=1e-6)
 
     def test_fallback_matches_scan(self):
         """Oversized shapes silently use the scan twin (same results)."""

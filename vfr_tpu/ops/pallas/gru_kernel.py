@@ -155,23 +155,38 @@ def pallas_gru(
     ``weights_dtype`` controls the VMEM-resident weight precision (bf16
     default; pass float32 for bit-parity testing at small H).
 
-    Falls back to the lax.scan twin when the shape exceeds the VMEM budget
-    (pallas_gru_fits_vmem) — identical semantics either way."""
+    Batches too large for the VMEM budget run in batch chunks (identical
+    results — the kernel is batch-independent); the lax.scan twin is the
+    fallback only when the weights themselves cannot fit."""
+    from vfr_tpu.ops.pallas.lstm_kernel import _run_batch_chunks, batch_chunk
+
     B = x.shape[0]
     wb = jnp.dtype(weights_dtype).itemsize
-    for layer in range(len(params)):
-        p = params[f"layer{layer}"]
-        E, H3 = p["w_ih"].shape
-        if not pallas_gru_fits_vmem(B, E, H3 // 3, wb):
-            from vfr_tpu.ops.lstm import gru_forward
 
-            return gru_forward(params, x, lengths, compute_dtype)
-    hs = x
-    h_last = None
-    for layer in range(len(params)):
-        p = params[f"layer{layer}"]
-        h_last, hs = _pallas_gru_layer(
-            hs, lengths, p["w_ih"], p["w_hh"], p["b_ih"], p["b_hh"],
-            compute_dtype, interpret, weights_dtype=weights_dtype,
+    def fits(b):
+        return all(
+            pallas_gru_fits_vmem(
+                b, params[f"layer{l}"]["w_ih"].shape[0],
+                params[f"layer{l}"]["w_ih"].shape[1] // 3, wb,
+            )
+            for l in range(len(params))
         )
-    return h_last, hs
+
+    chunk = batch_chunk(B, fits)
+    if chunk is None:
+        from vfr_tpu.ops.lstm import gru_forward
+
+        return gru_forward(params, x, lengths, compute_dtype)
+
+    def run(xc, lc):
+        hs = xc
+        h_last = None
+        for layer in range(len(params)):
+            p = params[f"layer{layer}"]
+            h_last, hs = _pallas_gru_layer(
+                hs, lc, p["w_ih"], p["w_hh"], p["b_ih"], p["b_hh"],
+                compute_dtype, interpret, weights_dtype=weights_dtype,
+            )
+        return h_last, hs
+
+    return _run_batch_chunks(run, x, lengths, chunk)

@@ -155,23 +155,65 @@ def pallas_lstm(
     default — required to fit H=1024 in VMEM; pass float32 for bit-parity
     testing at small H).
 
-    Falls back to the lax.scan twin when the shape exceeds the VMEM budget
-    (pallas_lstm_fits_vmem) — identical semantics either way."""
+    Batches too large for the VMEM budget are processed in batch CHUNKS
+    (the kernel is batch-independent, so results are identical); only if
+    even a minimal chunk cannot fit the weights does it fall back to the
+    lax.scan twin.  Previously B=256 (the serving preset's query batch)
+    silently lost the kernel entirely."""
     B = x.shape[0]
     wb = jnp.dtype(weights_dtype).itemsize
-    for layer in range(len(params)):
-        p = params[f"layer{layer}"]
-        E, H4 = p["w_ih"].shape
-        if not pallas_lstm_fits_vmem(B, E, H4 // 4, wb):
-            from vfr_tpu.ops.lstm import lstm_forward
 
-            return lstm_forward(params, x, lengths, compute_dtype)
-    hs = x
-    h_last = None
-    for layer in range(len(params)):
-        p = params[f"layer{layer}"]
-        h_last, hs = _pallas_lstm_layer(
-            hs, lengths, p["w_ih"], p["w_hh"], p["b"], compute_dtype,
-            interpret, weights_dtype=weights_dtype,
+    def fits(b):
+        return all(
+            pallas_lstm_fits_vmem(
+                b, params[f"layer{l}"]["w_ih"].shape[0],
+                params[f"layer{l}"]["w_ih"].shape[1] // 4, wb,
+            )
+            for l in range(len(params))
         )
+
+    chunk = batch_chunk(B, fits)
+    if chunk is None:
+        from vfr_tpu.ops.lstm import lstm_forward
+
+        return lstm_forward(params, x, lengths, compute_dtype)
+
+    def run(xc, lc):
+        hs = xc
+        h_last = None
+        for layer in range(len(params)):
+            p = params[f"layer{layer}"]
+            h_last, hs = _pallas_lstm_layer(
+                hs, lc, p["w_ih"], p["w_hh"], p["b"], compute_dtype,
+                interpret, weights_dtype=weights_dtype,
+            )
+        return h_last, hs
+
+    return _run_batch_chunks(run, x, lengths, chunk)
+
+
+def batch_chunk(B, fits):
+    """Largest 8-aligned batch chunk satisfying ``fits`` (None if none)."""
+    chunk = B
+    while chunk > 8 and not fits(chunk):
+        chunk = ((chunk + 1) // 2 + 7) // 8 * 8
+    return chunk if fits(chunk) else None
+
+
+def _run_batch_chunks(run, x, lengths, chunk):
+    """Apply ``run`` over 8-aligned batch chunks; one compiled kernel shape
+    (the tail chunk is zero-padded and trimmed)."""
+    B = x.shape[0]
+    if chunk >= B:
+        return run(x, lengths)
+    pad = (-B) % chunk
+    if pad:
+        x = jnp.concatenate([x, jnp.zeros((pad,) + x.shape[1:], x.dtype)])
+        lengths = jnp.concatenate(
+            [lengths, jnp.zeros((pad,), lengths.dtype)]
+        )
+    outs = [run(x[i : i + chunk], lengths[i : i + chunk])
+            for i in range(0, x.shape[0], chunk)]
+    h_last = jnp.concatenate([o[0] for o in outs])[:B]
+    hs = jnp.concatenate([o[1] for o in outs])[:B]
     return h_last, hs
