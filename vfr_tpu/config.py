@@ -50,6 +50,11 @@ class DataConfig:
     synthetic_num_queries: int = 256
     synthetic_seed: int = 0
     synthetic_noise: float = 0.1
+    # fixture vocabulary size.  Counterintuitively, RAISING it hurt on the
+    # quality fixture (2000 words -> each word seen ~8x in 2048 queries,
+    # too sparse to learn compositions: corpus video-R@5 0.105 vs 0.139 at
+    # the 200 default) — keep 200 unless the query count scales with it.
+    synthetic_vocab_words: int = 200
 
 
 @dataclass(frozen=True)
@@ -98,6 +103,17 @@ class TrainConfig:
     lambda_intra: float = 1.0
     lambda_inter: float = 0.2
     inter_negatives: str = "same_span"  # "same_span" | "all_spans"
+    # Index-based HARD inter-video negative mining (BASELINE.json:5
+    # "inter-video negative mining" — the strong form).  In-batch negatives
+    # satisfy the margin against ~B rivals and stop learning there
+    # (measured: inter loss -> 0 while corpus recall stays ~4x chance);
+    # mining re-ranks the full corpus index every refresh and trains
+    # against each query's actual nearest wrong-video moments.
+    hard_negative_count: int = 0        # mined negatives per query (0 = off)
+    hard_negative_refresh_epochs: int = 1
+    hard_negative_start_epoch: int = 1  # first epoch that mines (params
+                                        # must be non-random to mine well)
+    lambda_hard: float = 0.0            # weight; 0.0 = reuse lambda_inter
     target_sampling: str = "mode"       # "mode" (annotator consensus) |
                                         # "sample" (random annotator / step)
     seed: int = 42

@@ -113,6 +113,9 @@ class DidemoDataset:
             "lengths": self.lengths[idx],
             "target": self.target[idx],
             "video_idx": self.video_idx[idx],
+            # dataset row of each query — lets the train loop join
+            # per-query side tables (e.g. mined hard negatives)
+            "query_idx": idx.astype(np.int32),
         }
         if with_features:
             # host-side gather; device-resident feature banks skip this

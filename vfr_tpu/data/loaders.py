@@ -105,6 +105,7 @@ def _load_didemo(dcfg: DataConfig) -> DataBundle:
         clip_seconds=dcfg.clip_seconds,
         noise=dcfg.synthetic_noise,
         with_flow=dcfg.use_flow,
+        vocab_words=dcfg.synthetic_vocab_words,
         seed=dcfg.synthetic_seed,
     )
     n_val = max(1, len(fix.annotations) // 5)
@@ -152,6 +153,7 @@ def _load_charades(dcfg: DataConfig) -> DataBundle:
         feature_seconds=dcfg.feature_seconds,
         noise=dcfg.synthetic_noise,
         with_flow=dcfg.use_flow,
+        vocab_words=dcfg.synthetic_vocab_words,
         seed=dcfg.synthetic_seed,
     )
     n_val = max(1, len(fix.annotations) // 5)

@@ -1,0 +1,81 @@
+"""Index-based hard inter-video negative mining (BASELINE.json:5).
+
+In-batch inter-video negatives satisfy the triplet margin against the ~B
+rivals visible per step and then stop providing signal — measured on the
+quality fixture the inter loss drives to ~0 while full-corpus video recall
+sits at ~4x chance (docs/DESIGN.md entry 12).  Mining closes the gap the
+classic way: every refresh, embed the whole training corpus into the cached
+moment index (eval/corpus.build_moment_index — the same code the serving
+path uses), retrieve each training query's nearest moments, drop rows from
+the query's own video, and keep the ``count`` hardest as explicit negatives
+for the next epochs' loss term (train/loss.py hard-negative hinge).
+
+TPU notes: mining is one retrieval pass over the training set (exact top-k;
+the index build and scoring are the PASS-1/PASS-2 programs already
+compiled for corpus eval), and the mined table is a tiny host-side
+[num_queries, count] int32 pair joined into batches by ``query_idx`` —
+batch shapes stay static, so no recompilation beyond the first mined epoch.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from vfr_tpu.models.mcn import Model
+
+
+def mine_hard_negatives(
+    params,
+    model: Model,
+    dataset,
+    count: int,
+    batch_size: int = 256,
+    rnn_kernel: str = "scan",
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Returns (videos [Nq, count], props [Nq, count]) int32, -1-padded.
+
+    For each training query: the ``count`` nearest index rows whose video
+    differs from the query's own, by current-params fused distance over the
+    full training corpus.  Rows are mined at training precision
+    (rnn_kernel="scan") so the mined ranking matches what the loss sees.
+    """
+    from vfr_tpu.eval.corpus import build_moment_index, make_retriever
+
+    if hasattr(dataset, "windows"):
+        raise ValueError(
+            "hard-negative mining currently supports DiDeMo-style datasets "
+            "(static per-video proposals); Charades window banks need "
+            "per-video TEF/mask plumbing in the loss gather"
+        )
+    index = build_moment_index(params, model, dataset)
+    P = dataset.num_proposals
+    # retrieve enough rows to survive own-video filtering: the query's own
+    # video contributes at most P rows to the top of the list
+    k0 = min(count + P, index.num_rows)
+    retrieve = make_retriever(model, index, k0, topk_method="exact",
+                              rnn_kernel=rnn_kernel)
+
+    videos = np.full((dataset.num_queries, count), -1, np.int32)
+    props = np.full((dataset.num_queries, count), -1, np.int32)
+    for batch in dataset.eval_batches(batch_size, with_features=False):
+        _, rows = retrieve(
+            params, jnp.asarray(batch["tokens"]), jnp.asarray(batch["lengths"])
+        )
+        rows = np.asarray(rows)                          # [B, k0]
+        vid = index.video_row[rows]                      # [B, k0]
+        wrong = vid != batch["video_idx"][:, None]
+        # stable argsort on ~wrong keeps retrieval order among wrong-video
+        # rows and pushes own-video rows to the tail
+        keep = np.argsort(~wrong, axis=1, kind="stable")[:, :count]
+        got = np.take_along_axis(wrong, keep, axis=1)    # padding guard
+        v = np.take_along_axis(vid, keep, axis=1)
+        p = np.take_along_axis(index.prop_idx[rows], keep, axis=1)
+        v = np.where(got, v, -1)
+        p = np.where(got, p, -1)
+        q_idx = batch["query_idx"][batch["valid"]]
+        videos[q_idx] = v[batch["valid"]]
+        props[q_idx] = p[batch["valid"]]
+    return videos, props

@@ -99,8 +99,24 @@ def train(
         _cpu = jax.devices("cpu")[0]
         with jax.default_device(_cpu):
             _run_key = jax.random.PRNGKey(tcfg.seed)
+    # index-based hard inter-video negatives (train/hard_negatives.py):
+    # re-mined every refresh from the CURRENT params' corpus index
+    mined = None
+    hn = tcfg.hard_negative_count
     for epoch in range(epoch0, tcfg.num_epochs):
         skip = skip0 if epoch == epoch0 else 0
+        if hn > 0 and epoch >= tcfg.hard_negative_start_epoch and (
+            mined is None
+            or (epoch - tcfg.hard_negative_start_epoch)
+            % max(tcfg.hard_negative_refresh_epochs, 1) == 0
+        ):
+            from vfr_tpu.train.hard_negatives import mine_hard_negatives
+
+            mined = mine_hard_negatives(params, model, ds, hn)
+            logger.log("mine", step, {
+                "epoch": epoch, "count": hn,
+                "mined_valid_frac": float((mined[0] >= 0).mean()),
+            })
         if use_dropout:
             with jax.default_device(_cpu):
                 epoch_keys = np.asarray(jax.vmap(
@@ -108,7 +124,7 @@ def train(
                 )(np.arange(epoch * steps_per_epoch,
                             (epoch + 1) * steps_per_epoch)))
 
-        def _epoch_chunks(e=epoch, skip=skip):
+        def _epoch_chunks(e=epoch, skip=skip, mined=mined):
             buf = []
             for i, b in enumerate(ds.train_batches(
                 tcfg.batch_size, steps_per_epoch, seed=tcfg.seed + e,
@@ -120,6 +136,9 @@ def train(
                                   # replay exactly the unseen tail
                 if use_dropout:
                     b["dropout_rng"] = epoch_keys[i]
+                if mined is not None:
+                    b["hard_neg_video"] = mined[0][b["query_idx"]]
+                    b["hard_neg_prop"] = mined[1][b["query_idx"]]
                 buf.append(b)
                 if len(buf) == K:
                     yield _stack_chunk(buf)

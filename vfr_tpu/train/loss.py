@@ -39,6 +39,8 @@ def ranking_loss(
     target: jnp.ndarray,                 # [B] int32 gt proposal index
     video_idx: jnp.ndarray,              # [B] int32 video identity
     proposal_mask: Optional[jnp.ndarray] = None,   # [B, P] valid proposals
+    hard_moments: Optional[Dict[str, jnp.ndarray]] = None,  # -> [B, H, d]
+    hard_valid: Optional[jnp.ndarray] = None,               # [B, H] bool
 ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
     D = cross_distances(model, q, moments)          # [B, B, P]
     B, _, P = D.shape
@@ -73,6 +75,31 @@ def ranking_loss(
         raise ValueError(f"unknown inter_negatives {tcfg.inter_negatives!r}")
 
     loss = tcfg.lambda_intra * l_intra + tcfg.lambda_inter * l_inter
+
+    # ---- mined hard inter-video negatives (train/hard_negatives.py):
+    # each query's nearest wrong-video moments under the CURRENT index —
+    # the rivals the in-batch term never sees.
+    l_hard = jnp.float32(0.0)
+    if hard_moments is not None:
+        from vfr_tpu.models.mcn import _stream_distance
+
+        qs = q if q.ndim == 3 else jnp.stack([q] * len(model.streams))
+        d_hard = None
+        for s, name in enumerate(model.streams):
+            # config-consistent per-stream distance (sqeuclidean/euclidean/
+            # cosine), broadcast [B, 1, d] vs [B, H, d]
+            d_s = _stream_distance(model.cfg, qs[s][:, None, :],
+                                   hard_moments[name])
+            w = model.cfg.stream_weights[s]
+            d_hard = w * d_s if d_hard is None else d_hard + w * d_s
+        viol = jnp.maximum(0.0, tcfg.margin + pos[:, None] - d_hard)
+        hv = (
+            jnp.ones(viol.shape, bool) if hard_valid is None else hard_valid
+        )
+        l_hard = _masked_mean(viol, hv)
+        lam = tcfg.lambda_hard if tcfg.lambda_hard > 0 else tcfg.lambda_inter
+        loss = loss + lam * l_hard
+
     # rank-0 accuracy on the fly: fraction where gt is the arg-min proposal
     D_masked = jnp.where(pmask, D_own, jnp.inf)
     acc = jnp.mean((jnp.argmin(D_masked, axis=1) == target).astype(jnp.float32))
@@ -80,6 +107,7 @@ def ranking_loss(
         "loss": loss,
         "loss_intra": l_intra,
         "loss_inter": l_inter,
+        "loss_hard": l_hard,
         "pos_dist": jnp.mean(pos),
         "train_r1": acc,
     }

@@ -46,11 +46,35 @@ def loss_from_batch(
         tef=batch.get("tef"),
         context_mask=batch.get("context_mask"),
     )
+    hard_m, hard_valid = None, None
+    hv = batch.get("hard_neg_video")
+    if hv is not None and feature_banks is not None:
+        # mined hard negatives (train/hard_negatives.py): embed the mined
+        # (video, proposal) pairs with CURRENT params from the device-
+        # resident banks; gradients flow into the negatives as usual
+        hp = batch["hard_neg_prop"]
+        B, Hn = hv.shape
+        hv_safe = jnp.maximum(hv, 0).reshape(-1)
+        hp_safe = jnp.maximum(hp, 0).reshape(-1)
+        feats_h = {
+            s: jnp.take(feature_banks[s], hv_safe, axis=0)
+            for s in model.streams
+        }
+        m_h = embed_moments(params, model, feats_h)      # -> [B*Hn, P, d]
+        hard_m = {
+            s: jnp.take_along_axis(
+                m_h[s], hp_safe[:, None, None].astype(jnp.int32), axis=1
+            )[:, 0].reshape(B, Hn, -1)
+            for s in model.streams
+        }
+        hard_valid = hv >= 0
     return ranking_loss(
         model, tcfg, q, m,
         target=batch["target"],
         video_idx=batch["video_idx"],
         proposal_mask=batch.get("window_mask"),
+        hard_moments=hard_m,
+        hard_valid=hard_valid,
     )
 
 
