@@ -1,0 +1,105 @@
+#!/usr/bin/env python
+"""Quality-proof training run (BASELINE.json:2 parity band; VERDICT r1 #6).
+
+Trains the flagship didemo_fusion config on a HARDER synthetic fixture than
+the test suite uses (4x more videos, 2.5x the feature noise), long enough to
+land R@1 well inside the MCN-family healthy band (BASELINE.md: R@1 ~25-30 on
+real DiDeMo; chance ~5-14), then runs both eval protocols and corpus
+retrieval, and writes the artifacts the regression test
+(tests/test_quality_artifact.py) checks:
+
+    artifacts/quality/metrics.jsonl      full training log (step losses, evals)
+    artifacts/quality/final_metrics.json eval + corpus numbers + config
+
+Run on the TPU (~3 min):  python scripts/quality_run.py
+"""
+
+import dataclasses
+import json
+import os
+import sys
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, ROOT)
+OUT = os.path.join(ROOT, "artifacts", "quality")
+
+
+def main():
+    from vfr_tpu.config import get_preset
+    from vfr_tpu.data.loaders import load_datasets
+    from vfr_tpu.eval.corpus import corpus_evaluate
+    from vfr_tpu.eval.moment_eval import evaluate
+    from vfr_tpu.train.loop import train
+
+    os.makedirs(OUT, exist_ok=True)
+    base = get_preset("didemo_fusion")
+    cfg = dataclasses.replace(
+        base,
+        data=dataclasses.replace(
+            base.data,
+            data_dir=os.path.join(OUT, "no_real_data"),   # -> synthetic
+            synthetic_num_videos=256,
+            synthetic_num_queries=2048,
+            synthetic_noise=0.25,
+            # vocab stays at the 200-word default: measured BETTER than a
+            # 2000-word fixture (corpus video-R@5 0.139 vs 0.105, local R@1
+            # 0.78 vs 0.67) — at 2000 words each word appears ~8 times in
+            # 2048 queries, too sparse to learn compositions from
+        ),
+        train=dataclasses.replace(
+            base.train,
+            num_epochs=20,
+            batch_size=64,
+            # corpus-aware negative weighting (the corpus_didemo preset's
+            # value): lambda_inter=0.2 trains localization fine but leaves
+            # inter-video discrimination at ~2.8x chance on this fixture;
+            # 0.5 is what the corpus preset ships
+            lambda_inter=0.5,
+            inter_negatives="all_spans",
+            # index-based hard negative mining: re-rank the full training
+            # corpus every 2 epochs and train against each query's actual
+            # nearest wrong-video moments.  Without it (same run, mining
+            # off): corpus video R@1/R@5 = 0.034/0.139 — in-batch margins
+            # go to ~0 while full-corpus recall stalls at ~4x chance.
+            hard_negative_count=4,
+            hard_negative_start_epoch=3,
+            hard_negative_refresh_epochs=2,
+            checkpoint_dir=os.path.join(OUT, "ck"),
+            metrics_path=os.path.join(OUT, "metrics.jsonl"),
+        ),
+    )
+    bundle = load_datasets(cfg.data)
+    params, final_eval = train(cfg, bundle=bundle)
+
+    from vfr_tpu.models.build import build_model
+    model = build_model(cfg, dataset=bundle.train)
+
+    official = evaluate(
+        params, model, bundle.val,
+        dataclasses.replace(cfg.eval, protocol="didemo_official"),
+    )
+    corpus = corpus_evaluate(params, model, bundle.val, cfg.eval)
+
+    out = {
+        "preset": "didemo_fusion",
+        "fixture": {
+            "num_videos": cfg.data.synthetic_num_videos,
+            "num_queries": cfg.data.synthetic_num_queries,
+            "noise": cfg.data.synthetic_noise,
+            "seed": cfg.data.synthetic_seed,
+        },
+        "epochs": cfg.train.num_epochs,
+        "eval_threshold": final_eval,
+        "eval_official": official,
+        "corpus": corpus,
+    }
+    path = os.path.join(OUT, "final_metrics.json")
+    with open(path, "w") as f:
+        json.dump(out, f, indent=2, sort_keys=True)
+    print(json.dumps({k: out[k] for k in ("eval_threshold", "corpus")},
+                     sort_keys=True))
+    print(f"wrote {path}")
+
+
+if __name__ == "__main__":
+    main()
