@@ -79,18 +79,50 @@ class TestMining:
         videos, props = mine_hard_negatives(params, model, ds, count=3)
         assert (videos == -1).all() and (props == -1).all()
 
-    def test_charades_rejected(self):
+    def test_charades_mined_rows_are_valid_windows(self):
+        """Charades window banks: every mined (video, prop) pair must be a
+        VALID window of that video (invalid windows carry m_sq=+1e30 in the
+        index and can never be retrieved) and never the query's own video."""
         from vfr_tpu.data.charades import CharadesSTADataset
         from vfr_tpu.data.synthetic import make_charades_fixture
 
-        fix = make_charades_fixture(num_videos=4, num_queries=8,
-                                    feature_dim=F, glove_dim=E, seed=0)
-        dcfg = DataConfig(dataset="charades_sta", feature_dim=F, glove_dim=E)
+        fix = make_charades_fixture(num_videos=8, num_queries=24,
+                                    feature_dim=F, glove_dim=E, seed=1)
+        dcfg = DataConfig(dataset="charades_sta", feature_dim=F, glove_dim=E,
+                          use_flow=False)
         ds = CharadesSTADataset(fix.annotations, fix.rgb, None, fix.vocab,
                                 dcfg)
-        cfg, model, params, _ = _setup(num_videos=2, num_queries=4)
-        with pytest.raises(ValueError):
-            mine_hard_negatives(params, model, ds, count=2)
+        cfg = ExperimentConfig(
+            name="t", data=dcfg,
+            model=ModelConfig(joint_dim=16, lstm_hidden=16),
+        )
+        model = build_model(cfg, dataset=ds)
+        params = init_model_params(jax.random.PRNGKey(0), model, fix.glove, F)
+        videos, props = mine_hard_negatives(params, model, ds, count=3)
+        assert (videos >= 0).all()
+        assert (videos != ds.video_idx[:, None]).all()
+        assert ds.window_mask[videos, props].all()
+
+    def test_charades_train_loop_with_mining(self, tmp_path):
+        from vfr_tpu.train.loop import train
+
+        cfg = ExperimentConfig(
+            name="t",
+            data=DataConfig(
+                dataset="charades_sta", data_dir=str(tmp_path / "x"),
+                feature_dim=F, glove_dim=E, use_flow=False,
+                synthetic_num_videos=8, synthetic_num_queries=32,
+            ),
+            model=ModelConfig(joint_dim=16, lstm_hidden=16),
+            train=TrainConfig(
+                batch_size=8, num_epochs=3, learning_rate=3e-3, margin=0.2,
+                hard_negative_count=2, hard_negative_start_epoch=1,
+                checkpoint_dir=str(tmp_path / "ck"),
+            ),
+            eval=EvalConfig(eval_batch_size=16),
+        )
+        _, metrics = train(cfg)
+        assert np.isfinite(metrics["mIoU"])
 
 
 class TestHardLoss:

@@ -154,6 +154,9 @@ class CharadesSTADataset:
             "video_idx": v,
             "window_mask": self.window_mask[v],
             "tef": self.video_tef[v],
+            # dataset row of each query (joins per-query side tables, e.g.
+            # mined hard negatives — train/hard_negatives.py)
+            "query_idx": idx.astype(np.int32),
         }
         if with_features:
             b["rgb"] = self.rgb_feats[v]

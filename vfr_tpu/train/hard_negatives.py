@@ -41,15 +41,15 @@ def mine_hard_negatives(
     differs from the query's own, by current-params fused distance over the
     full training corpus.  Rows are mined at training precision
     (rnn_kernel="scan") so the mined ranking matches what the loss sees.
+
+    Works for both proposal families: DiDeMo static spans and Charades
+    window banks — invalid windows carry m_sq=+1e30 in the index
+    (build_moment_index) so every mined (video, prop) pair is a valid
+    window by construction; the loss gather re-embeds them with the
+    per-video TEF bank (train/step.py).
     """
     from vfr_tpu.eval.corpus import build_moment_index, make_retriever
 
-    if hasattr(dataset, "windows"):
-        raise ValueError(
-            "hard-negative mining currently supports DiDeMo-style datasets "
-            "(static per-video proposals); Charades window banks need "
-            "per-video TEF/mask plumbing in the loss gather"
-        )
     index = build_moment_index(params, model, dataset)
     P = dataset.num_proposals
     # retrieve enough rows to survive own-video filtering: the query's own

@@ -70,8 +70,13 @@ def train(
     # for the run; per-step batches carry video ids only (train/step.py).
     import jax.numpy as jnp
 
+    bank_arrays = dict(ds.feature_banks())
+    if hasattr(ds, "video_tef"):
+        # Charades: per-video TEF bank so mined hard negatives re-embed
+        # with the right duration normalization (train/step.py)
+        bank_arrays["video_tef"] = ds.video_tef
     train_banks = jax.device_put(
-        {k: jnp.asarray(v) for k, v in ds.feature_banks().items()}
+        {k: jnp.asarray(v) for k, v in bank_arrays.items()}
     )
     val_banks = jax.device_put(
         {k: jnp.asarray(v) for k, v in val_ds.feature_banks().items()}

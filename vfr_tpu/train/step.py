@@ -60,7 +60,14 @@ def loss_from_batch(
             s: jnp.take(feature_banks[s], hv_safe, axis=0)
             for s in model.streams
         }
-        m_h = embed_moments(params, model, feats_h)      # -> [B*Hn, P, d]
+        # Charades window banks: per-video duration-normalized TEF rides
+        # the banks dict under "video_tef" (train/loop.py uploads it);
+        # DiDeMo uses the static proposal TEF (tef=None).
+        tef_h = (
+            jnp.take(feature_banks["video_tef"], hv_safe, axis=0)
+            if "video_tef" in feature_banks else None
+        )
+        m_h = embed_moments(params, model, feats_h, tef=tef_h)  # [B*Hn, P, d]
         hard_m = {
             s: jnp.take_along_axis(
                 m_h[s], hp_safe[:, None, None].astype(jnp.int32), axis=1
