@@ -180,6 +180,22 @@ def test_cli_corpus(tmp_path, capsys):
     assert "corpus_video_R@1" in capsys.readouterr().out
 
 
+def test_cli_corpus_new_knobs(tmp_path, capsys):
+    """--index-dtype / --topk-method reach EvalConfig (bf16 index + the
+    opt-in fused Pallas select path, interpreted on the CPU harness)."""
+    from vfr_tpu.cli import main
+
+    rc = main([
+        "corpus", "--preset", "didemo_rgb",
+        "--data-dir", str(tmp_path / "nodata"),
+        "--checkpoint-dir", str(tmp_path / "ck"),
+        "--topk", "5", "--index-dtype", "bfloat16",
+        "--topk-method", "fused",
+    ])
+    assert rc == 0
+    assert "corpus_video_R@1" in capsys.readouterr().out
+
+
 def test_config_json_roundtrip():
     cfg = ExperimentConfig(name="didemo_fusion")
     s = cfg.to_json()

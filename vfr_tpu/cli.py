@@ -46,6 +46,12 @@ def build_parser() -> argparse.ArgumentParser:
                    help="capture a jax.profiler trace of the train loop")
     t.add_argument("--debug-nans", action="store_true",
                    help="enable jax_debug_nans (debug-mode sanitizer)")
+    t.add_argument("--hard-negatives", type=int, default=None,
+                   help="mined hard inter-video negatives per query "
+                        "(0 = off; mining re-ranks the corpus index every "
+                        "--hard-negative-refresh epochs)")
+    t.add_argument("--hard-negative-refresh", type=int, default=None,
+                   help="epochs between hard-negative re-mining passes")
 
     e = sub.add_parser("eval", help="per-video localization eval")
     common(e)
@@ -58,6 +64,12 @@ def build_parser() -> argparse.ArgumentParser:
                    help="devices to shard the moment index over")
     c.add_argument("--topk", type=int, default=None)
     c.add_argument("--num-videos", type=int, default=None)
+    c.add_argument("--topk-method", default=None,
+                   choices=["exact", "approx", "fused"])
+    c.add_argument("--index-dtype", default=None,
+                   choices=["float32", "bfloat16"],
+                   help="moment-index storage dtype (bf16 halves the HBM "
+                        "bytes of the distance stage)")
 
     s = sub.add_parser("serve", help="answer free-text queries against the "
                        "cached moment index (one JSON line per query)")
@@ -67,6 +79,10 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("--shards", type=int, default=None)
     s.add_argument("--topk", type=int, default=10)
     s.add_argument("--num-videos", type=int, default=None)
+    s.add_argument("--topk-method", default=None,
+                   choices=["exact", "approx", "fused"])
+    s.add_argument("--index-dtype", default=None,
+                   choices=["float32", "bfloat16"])
 
     k = sub.add_parser("pack", help="convert an .npz feature dump to the "
                        "packed mmap .vfrf format (native fast loader)")
@@ -98,6 +114,10 @@ def apply_overrides(cfg, args):
         tkw["learning_rate"] = args.lr
     if getattr(args, "margin", None) is not None:
         tkw["margin"] = args.margin
+    if getattr(args, "hard_negatives", None) is not None:
+        tkw["hard_negative_count"] = args.hard_negatives
+    if getattr(args, "hard_negative_refresh", None) is not None:
+        tkw["hard_negative_refresh_epochs"] = args.hard_negative_refresh
     if tkw:
         train = dataclasses.replace(train, **tkw)
     ekw = {}
@@ -109,6 +129,10 @@ def apply_overrides(cfg, args):
         ekw["corpus_topk"] = args.topk
     if getattr(args, "num_videos", None) is not None:
         ekw["corpus_num_videos"] = args.num_videos
+    if getattr(args, "topk_method", None) is not None:
+        ekw["topk_method"] = args.topk_method
+    if getattr(args, "index_dtype", None) is not None:
+        ekw["index_dtype"] = args.index_dtype
     if ekw:
         ev = dataclasses.replace(ev, **ekw)
     return dataclasses.replace(cfg, data=data, model=model, train=train, eval=ev)
