@@ -171,6 +171,22 @@ class TestIndexDtype:
         assert top1_agree >= 0.8, top1_agree
         assert np.isfinite(np.asarray(d16)).all()
 
+    def test_bf16_index_sharded_matches_single_device(self, trained,
+                                                      devices8):
+        """The ICI-sharded retriever must produce the same ranking as the
+        single-device path when the index is stored bf16 (the shard_map
+        body streams the rows at storage dtype)."""
+        cfg, model, params, ds = trained
+        index = build_moment_index(params, model, ds, index_dtype="bfloat16")
+        b = next(ds.eval_batches(16))
+        d1, r1 = corpus_retrieval(params, model, index, b["tokens"],
+                                  b["lengths"], k=10)
+        mesh = make_mesh(("corpus",), devices=devices8)
+        d2, r2 = corpus_retrieval(params, model, index, b["tokens"],
+                                  b["lengths"], k=10, mesh=mesh)
+        np.testing.assert_allclose(np.sort(d1, 1), np.sort(d2, 1),
+                                   rtol=1e-3, atol=1e-3)
+
     def test_fused_select_retriever_matches_exact(self, trained):
         """topk_method='fused' (Pallas distance+selection) must agree with
         the exact retriever at high recall on the fixture."""
