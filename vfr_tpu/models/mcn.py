@@ -25,6 +25,7 @@ import numpy as np
 from vfr_tpu.config import ModelConfig
 from vfr_tpu.ops.lstm import (
     gru_forward,
+    gru_forward_fused,
     init_gru_params,
     init_lstm_params,
     lstm_forward,
@@ -171,6 +172,9 @@ def _query_hidden(
             _log_pallas_rnn_once("GRU")
             h_last, _ = pallas_gru(params["lstm"], x, lengths,
                                    model.compute_dtype)
+        elif not inference and model.cfg.train_rnn_impl == "fused":
+            h_last, _ = gru_forward_fused(params["lstm"], x, lengths,
+                                          model.compute_dtype)
         else:
             h_last, _ = gru_forward(params["lstm"], x, lengths,
                                     model.compute_dtype)

@@ -90,6 +90,131 @@ def _gru_step(x_t, h, w_ih, w_hh, b_ih, b_hh, compute_dtype):
     return (1.0 - z) * n + z * h
 
 
+def _gru_layer_fused_fwd(x, lengths, w_ih, w_hh, b_ih, b_hh):
+    """Fused-layout GRU forward for one layer (mirror of the LSTM variant):
+    the input-side projection runs as ONE sequence-sized GEMM; the scan
+    carries only the hidden GEMM.  Returns (h_last, hs) plus VJP residuals:
+    post-activation gates r/z/n [T, B, 3H] and the hidden-side n-gate
+    pre-activation gh_n [T, B, H] (needed for dr — the r-gated term)."""
+    B, T, E = x.shape
+    H = w_hh.shape[0]
+    gi = (
+        jnp.einsum("bte,eg->tbg", x, w_ih, preferred_element_type=jnp.float32)
+        + b_ih[None, None, :]
+    )                                                     # [T, B, 3H]
+    h0 = jnp.zeros((B, H), jnp.float32)
+
+    def step(h, inp):
+        gi_t, t = inp
+        gh = jnp.dot(h, w_hh, preferred_element_type=jnp.float32) + b_hh
+        r = jax.nn.sigmoid(gi_t[:, 0 * H : 1 * H] + gh[:, 0 * H : 1 * H])
+        z = jax.nn.sigmoid(gi_t[:, 1 * H : 2 * H] + gh[:, 1 * H : 2 * H])
+        gh_n = gh[:, 2 * H : 3 * H]
+        n = jnp.tanh(gi_t[:, 2 * H : 3 * H] + r * gh_n)
+        h_new = (1.0 - z) * n + z * h
+        live = (t < lengths)[:, None]
+        h = jnp.where(live, h_new, h)
+        acts = jnp.concatenate([r, z, n], axis=1)
+        return h, (h, acts, gh_n)
+
+    h_fin, (hs, acts, gh_ns) = jax.lax.scan(step, h0, (gi, jnp.arange(T)))
+    return h_fin, hs, acts, gh_ns
+
+
+def _gru_layer_fused_bwd(x, lengths, w_ih, w_hh, hs, acts, gh_ns,
+                         dh_last, dhs):
+    """Hand-written GRU BPTT: elementwise gate math + one [B, 3H] @ [3H, H]
+    GEMM per reverse step; weight gradients as sequence-sized GEMMs."""
+    B, T, E = x.shape
+    H = w_hh.shape[0]
+    h_prev = jnp.concatenate([jnp.zeros((1, B, H), hs.dtype), hs[:-1]], 0)
+    live = (jnp.arange(T)[:, None] < lengths[None, :])[..., None]
+    w_hh_T = w_hh.T
+
+    def rstep(dh, inp):
+        dhs_t, h_tm1, acts_t, gh_n, live_t = inp
+        dh = dh + dhs_t
+        r = acts_t[:, 0 * H : 1 * H]
+        z = acts_t[:, 1 * H : 2 * H]
+        n = acts_t[:, 2 * H : 3 * H]
+        dn = dh * (1.0 - z)
+        dz = dh * (h_tm1 - n)
+        dn_pre = dn * (1.0 - n * n)
+        dr = dn_pre * gh_n
+        dgh_n = dn_pre * r
+        dr_pre = dr * r * (1.0 - r)
+        dz_pre = dz * z * (1.0 - z)
+        dgi = jnp.concatenate([dr_pre, dz_pre, dn_pre], axis=1)
+        dgh = jnp.concatenate([dr_pre, dz_pre, dgh_n], axis=1)
+        dgi = jnp.where(live_t, dgi, 0.0)
+        dgh = jnp.where(live_t, dgh, 0.0)
+        dh_prev = jnp.where(
+            live_t,
+            dh * z + jnp.dot(dgh, w_hh_T, preferred_element_type=jnp.float32),
+            dh,
+        )
+        return dh_prev, (dgi, dgh)
+
+    dh0, (dGI, dGH) = jax.lax.scan(
+        rstep, dh_last, (dhs, h_prev, acts, gh_ns, live), reverse=True,
+    )
+    dw_ih = jnp.einsum("bte,tbg->eg", x, dGI,
+                       preferred_element_type=jnp.float32)
+    db_ih = dGI.sum(axis=(0, 1))
+    dw_hh = jnp.einsum("tbh,tbg->hg", h_prev, dGH,
+                       preferred_element_type=jnp.float32)
+    db_hh = dGH.sum(axis=(0, 1))
+    dx = jnp.einsum("tbg,eg->bte", dGI, w_ih,
+                    preferred_element_type=jnp.float32)
+    return dx, dw_ih, dw_hh, db_ih, db_hh
+
+
+@jax.custom_vjp
+def _gru_layer_fused(x, lengths, w_ih, w_hh, b_ih, b_hh):
+    h_last, hs, _, _ = _gru_layer_fused_fwd(x, lengths, w_ih, w_hh, b_ih,
+                                            b_hh)
+    return h_last, jnp.swapaxes(hs, 0, 1)
+
+
+def _gru_fused_fwd_rule(x, lengths, w_ih, w_hh, b_ih, b_hh):
+    h_last, hs, acts, gh_ns = _gru_layer_fused_fwd(x, lengths, w_ih, w_hh,
+                                                   b_ih, b_hh)
+    res = (x, lengths, w_ih, w_hh, hs, acts, gh_ns)
+    return (h_last, jnp.swapaxes(hs, 0, 1)), res
+
+
+def _gru_fused_bwd_rule(res, cot):
+    x, lengths, w_ih, w_hh, hs, acts, gh_ns = res
+    dh_last, dhs_bt = cot
+    dx, dw_ih, dw_hh, db_ih, db_hh = _gru_layer_fused_bwd(
+        x, lengths, w_ih, w_hh, hs, acts, gh_ns, dh_last,
+        jnp.swapaxes(dhs_bt, 0, 1),
+    )
+    return dx, None, dw_ih, dw_hh, db_ih, db_hh
+
+
+_gru_layer_fused.defvjp(_gru_fused_fwd_rule, _gru_fused_bwd_rule)
+
+
+def gru_forward_fused(
+    params: Dict[str, Dict[str, jnp.ndarray]],
+    x: jnp.ndarray,                 # [B, T, E]
+    lengths: jnp.ndarray,           # [B] int32 (>=1)
+    compute_dtype=jnp.float32,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Trainable fused twin of :func:`gru_forward` — same restructure as
+    lstm_forward_fused (hoisted input GEMM; custom VJP with sequence-sized
+    weight-gradient GEMMs).  Gradient-parity-tested vs scan autodiff and
+    torch autograd (tests/test_gru_fused.py)."""
+    hs = x
+    h_last = None
+    for layer in range(len(params)):
+        p = params[f"layer{layer}"]
+        h_last, hs = _gru_layer_fused(hs, lengths, p["w_ih"], p["w_hh"],
+                                      p["b_ih"], p["b_hh"])
+    return h_last, hs
+
+
 def gru_forward(
     params: Dict[str, Dict[str, jnp.ndarray]],
     x: jnp.ndarray,                 # [B, T, E]

@@ -147,7 +147,7 @@ def pallas_gru(
     x: jnp.ndarray,
     lengths: jnp.ndarray,
     compute_dtype=jnp.float32,
-    interpret: bool = False,
+    interpret: bool = None,
     weights_dtype=jnp.bfloat16,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Drop-in twin of ops.lstm.gru_forward (multi-layer chains kernels).
@@ -160,6 +160,10 @@ def pallas_gru(
     fallback only when the weights themselves cannot fit."""
     from vfr_tpu.ops.pallas.lstm_kernel import _run_batch_chunks, batch_chunk
 
+    if interpret is None:
+        # Mosaic compiles on TPU only; elsewhere run the interpreter so
+        # rnn_kernel="pallas" stays usable on the CPU test harness
+        interpret = jax.default_backend() != "tpu"
     B = x.shape[0]
     wb = jnp.dtype(weights_dtype).itemsize
 

@@ -146,7 +146,7 @@ def pallas_lstm(
     x: jnp.ndarray,
     lengths: jnp.ndarray,
     compute_dtype=jnp.float32,
-    interpret: bool = False,
+    interpret: bool = None,
     weights_dtype=jnp.bfloat16,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Drop-in twin of ops.lstm.lstm_forward (multi-layer chains kernels).
@@ -160,6 +160,10 @@ def pallas_lstm(
     even a minimal chunk cannot fit the weights does it fall back to the
     lax.scan twin.  Previously B=256 (the serving preset's query batch)
     silently lost the kernel entirely."""
+    if interpret is None:
+        # Mosaic compiles on TPU only; elsewhere run the interpreter so
+        # rnn_kernel="pallas" stays usable on the CPU test harness
+        interpret = jax.default_backend() != "tpu"
     B = x.shape[0]
     wb = jnp.dtype(weights_dtype).itemsize
 
