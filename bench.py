@@ -2,11 +2,12 @@
 """Serving-path throughput benchmark (BASELINE.json:5 target: >100k moment
 proposals scored per query per chip per second).
 
-Measures the PRODUCTION corpus-retrieval path — the exact jitted program
-``vfr_tpu.eval.corpus.make_retriever`` builds for `serve`/`corpus` — against
-the cached moment-embedding index of a 10k-video corpus (210k moments, two
-streams, joint dim 128): query-batch GloVe->LSTM encode + fused two-stream
-distance matmuls over all index rows + top-100 selection.
+Measures the PRODUCTION corpus-retrieval path — the per-batch scan body of
+``vfr_tpu.eval.corpus.make_stream_retriever``, the program `serve`
+dispatches for multi-batch query streams — against the cached
+moment-embedding index of a 10k-video corpus (210k moments, two streams,
+joint dim 128): query-batch GloVe->LSTM encode + the one-matmul
+stream-concatenated score stage over all index rows + top-100 selection.
 
 Timing methodology (vfr_tpu/utils/timing.py): on this runtime
 ``block_until_ready`` does not force execution and same-buffer dispatches
@@ -47,10 +48,10 @@ def main():
     import jax.numpy as jnp
 
     from vfr_tpu.config import get_preset
-    from vfr_tpu.eval.corpus import MomentIndex, make_retriever
+    from vfr_tpu.eval.corpus import MomentIndex, make_score_topk
     from vfr_tpu.models.build import build_model
     from vfr_tpu.models.mcn import embed_queries_multi, init_model_params
-    from vfr_tpu.parallel.sharding import fused_corpus_distances
+    from vfr_tpu.parallel.sharding import fuse_index_cat, fused_corpus_scores
     from vfr_tpu.utils.timing import device_seconds_per_iter
 
     backend = jax.default_backend()
@@ -122,24 +123,34 @@ def main():
                                    inference=True)
 
     def dist_body(index):
+        # the production retriever's score stage: ONE stream-concatenated
+        # matmul over the fuse_index_cat layout, with the stream
+        # retriever's dequantized-f32 carrier for a bf16 index
+        # (docs/DESIGN.md entries 12/12b)
+        m_cat, msq_fused = fuse_index_cat(index.m, index.m_sq, index.weights)
+        if m_cat.dtype == jnp.bfloat16 and compute_dtype == jnp.bfloat16:
+            m_cat = m_cat.astype(jnp.float32)
+
         def body(i, tokens):
             qs = embed_queries_multi(params, model, perturb(i, tokens),
                                      lengths, inference=True)
-            return fused_corpus_distances(qs, index.m, index.m_sq,
-                                          index.weights, compute_dtype)
+            return fused_corpus_scores(qs, m_cat, msq_fused, index.weights,
+                                       compute_dtype)
         return body
 
     idx32 = make_index("float32")
     idx16 = make_index("bfloat16")
 
-    # Production retriever (eval/corpus.py::make_retriever) — the program
-    # `serve`/`corpus` dispatch, serving preset defaults (approx top-k).
-    retr16 = make_retriever(model, idx16, K,
-                            topk_method=cfg.eval.topk_method,
-                            approx_recall=cfg.eval.approx_recall)
-    retr32 = make_retriever(model, idx32, K,
-                            topk_method=cfg.eval.topk_method,
-                            approx_recall=cfg.eval.approx_recall)
+    # Production throughput program (eval/corpus.py::make_stream_retriever):
+    # `serve` scans many query batches inside ONE dispatch; make_score_topk
+    # is exactly its per-batch scan body, so timing it in the in-program
+    # loop measures the stream retriever's steady-state per-batch cost.
+    retr16 = make_score_topk(model, idx16, K,
+                             topk_method=cfg.eval.topk_method,
+                             approx_recall=cfg.eval.approx_recall)
+    retr32 = make_score_topk(model, idx32, K,
+                             topk_method=cfg.eval.topk_method,
+                             approx_recall=cfg.eval.approx_recall)
 
     sec16 = device_seconds_per_iter(full_body(retr16), base_tokens)
     sec32 = device_seconds_per_iter(full_body(retr32), base_tokens)
@@ -149,7 +160,7 @@ def main():
 
     sec_exact = None
     if os.environ.get("BENCH_EXACT") == "1" and cfg.eval.topk_method != "exact":
-        retr_ex = make_retriever(model, idx16, K, topk_method="exact")
+        retr_ex = make_score_topk(model, idx16, K, topk_method="exact")
         sec_exact = device_seconds_per_iter(full_body(retr_ex), base_tokens)
     elif cfg.eval.topk_method == "exact":
         sec_exact = sec16
@@ -216,11 +227,14 @@ def main():
                 enc_flops / sec_enc / MXU_BF16_FLOPS
             ),
             "note": (
-                "f32 distance runs at ~95% of HBM peak (bandwidth speed of "
-                "light); the bf16 index halves the bytes, after which the "
-                "stage is no longer bandwidth-bound — remaining gap to its "
-                "speed of light is matmul/epilogue-bound.  top-k is fused "
-                "with the score consumption (no HBM roofline of its own)."
+                "score stage = ONE stream-concatenated matmul (DESIGN 12); "
+                "a bf16 index streams ~108 MB/batch, so the stage sits at "
+                "the HBM roofline (util ~100%; >100% means the prefix-"
+                "difference decomposition slightly underestimates the "
+                "isolated stage).  The f32-index variant converts to bf16 "
+                "once inside the stream program (loop-invariant), hence "
+                "near-identical stage times.  top-k reads scores fused "
+                "(no HBM roofline of its own)."
             ),
         },
         **(
@@ -232,7 +246,7 @@ def main():
             else {}
         ),
         "timing": "in-program loop, elision-proof (utils/timing.py)",
-        "path": "eval/corpus.make_retriever (production serving program)",
+        "path": "eval/corpus.make_stream_retriever scan body (production throughput serving program)",
     }
 
     # Honest per-query reading (ADVICE r1): each query in the batch has N

@@ -255,3 +255,118 @@ class TestCorpusOfficialProtocol:
         # trained fixture model: best-3 GT rows rank into the top 5 of a
         # 504-row corpus far above the ~1% chance band
         assert m["corpus_R@5_official"] > 0.05, m
+
+
+class TestOneMatmulScoreLayout:
+    """The production retriever's one-matmul score layout
+    (parallel.sharding.fuse_index_cat / fused_corpus_scores) must be
+    algebraically interchangeable with the per-stream fused distances:
+    distance[q, n] = sum_s w_s |q_s|^2 - score[q, n]."""
+
+    @pytest.mark.parametrize("seed,S", [(0, 1), (1, 2)])
+    def test_scores_map_to_distances(self, seed, S):
+        from vfr_tpu.parallel.sharding import (
+            fuse_index_cat,
+            fused_corpus_scores,
+            query_sq_const,
+        )
+
+        rng = np.random.default_rng(seed)
+        Q, N, d = 5, 70, 12
+        q = jnp.asarray(rng.standard_normal((S, Q, d)), jnp.float32)
+        m = jnp.asarray(rng.standard_normal((S, N, d)), jnp.float32)
+        m_sq = jnp.sum(m * m, axis=-1)
+        w = jnp.asarray(np.array([0.7, 0.3], np.float32)[:S])
+
+        m_cat, msq_fused = fuse_index_cat(m, m_sq, w)
+        assert m_cat.shape == (N, S * d)
+        scores = np.asarray(fused_corpus_scores(q, m_cat, msq_fused, w))
+        dists = np.asarray(query_sq_const(q, w))[:, None] - scores
+
+        D = np.asarray(fused_corpus_distances(q, m, m_sq, w))
+        np.testing.assert_allclose(dists, D, rtol=1e-5, atol=1e-5)
+        # ranking identical (the property the retriever relies on)
+        np.testing.assert_array_equal(
+            np.argsort(-scores, axis=1, kind="stable"),
+            np.argsort(dists, axis=1, kind="stable"),
+        )
+
+    def test_retriever_matches_bruteforce_distances(self, trained):
+        """End-to-end: make_retriever (score path) top-k == brute-force
+        fused-distance argsort on the same index."""
+        from vfr_tpu.eval.corpus import _embed_query_streams
+
+        cfg, model, params, ds = trained
+        index = build_moment_index(params, model, ds)
+        b = next(ds.eval_batches(8))
+        toks, lens = jnp.asarray(b["tokens"]), jnp.asarray(b["lengths"])
+        retrieve = make_retriever(model, index, k=7)
+        d_got, rows_got = retrieve(params, toks, lens)
+        d_got, rows_got = np.asarray(d_got), np.asarray(rows_got)
+
+        qs = _embed_query_streams(params, model, toks, lens)
+        D = np.asarray(fused_corpus_distances(qs, index.m, index.m_sq,
+                                              index.weights))
+        ref_rows = np.argsort(D, axis=1, kind="stable")[:, :7]
+        ref_d = np.take_along_axis(D, ref_rows, axis=1)
+        np.testing.assert_allclose(np.sort(d_got, 1), np.sort(ref_d, 1),
+                                   rtol=1e-4, atol=1e-4)
+        got_d_of_rows = np.take_along_axis(D, rows_got, axis=1)
+        np.testing.assert_allclose(np.sort(got_d_of_rows, 1),
+                                   np.sort(ref_d, 1), rtol=1e-4, atol=1e-4)
+
+
+class TestStreamRetriever:
+    """make_stream_retriever (lax.scan over [M, Q] batches in one program)
+    must match per-batch make_retriever exactly (exact top-k on CPU)."""
+
+    def test_matches_per_batch_retriever(self, trained):
+        from vfr_tpu.eval.corpus import make_stream_retriever
+
+        cfg, model, params, ds = trained
+        index = build_moment_index(params, model, ds)
+        batches = []
+        it = ds.eval_batches(8)
+        for _ in range(3):
+            batches.append(next(it))
+        toks = np.stack([b["tokens"] for b in batches])     # [M, Q, T]
+        lens = np.stack([b["lengths"] for b in batches])    # [M, Q]
+
+        stream = make_stream_retriever(model, index, k=9, topk_method="exact")
+        d_s, r_s = stream(params, jnp.asarray(toks), jnp.asarray(lens))
+        d_s, r_s = np.asarray(d_s), np.asarray(r_s)
+        assert d_s.shape == (3, 8, 9) and r_s.shape == (3, 8, 9)
+
+        single = make_retriever(model, index, k=9)
+        for b in range(3):
+            d1, r1 = single(params, jnp.asarray(toks[b]), jnp.asarray(lens[b]))
+            np.testing.assert_array_equal(r_s[b], np.asarray(r1))
+            np.testing.assert_allclose(d_s[b], np.asarray(d1),
+                                       rtol=1e-5, atol=1e-5)
+
+    def test_carrier_dequant_is_exact(self, trained):
+        """bf16 index carried as dequantized f32 must rank identically to
+        the stored-bf16 carrier (bf16->f32 is exact)."""
+        import dataclasses
+
+        from vfr_tpu.eval.corpus import make_stream_retriever
+
+        cfg, model, params, ds = trained
+        model16 = build_model(dataclasses.replace(
+            cfg, model=dataclasses.replace(cfg.model,
+                                           compute_dtype="bfloat16")))
+        index = build_moment_index(params, model16, ds,
+                                   index_dtype="bfloat16")
+        b = next(ds.eval_batches(8))
+        toks = jnp.asarray(b["tokens"][None])
+        lens = jnp.asarray(b["lengths"][None])
+        s_auto = make_stream_retriever(model16, index, k=9,
+                                       topk_method="exact")
+        s_b16 = make_stream_retriever(model16, index, k=9,
+                                      topk_method="exact",
+                                      carrier_dtype="bfloat16")
+        d_a, r_a = s_auto(params, toks, lens)
+        d_b, r_b = s_b16(params, toks, lens)
+        np.testing.assert_array_equal(np.asarray(r_a), np.asarray(r_b))
+        np.testing.assert_allclose(np.asarray(d_a), np.asarray(d_b),
+                                   rtol=1e-5, atol=1e-5)

@@ -28,9 +28,12 @@ from vfr_tpu.config import EvalConfig
 from vfr_tpu.models.mcn import Model, embed_moments, embed_queries_multi
 from vfr_tpu.ops.tiou import tiou
 from vfr_tpu.parallel.sharding import (
+    fuse_index_cat,
     fused_corpus_distances,
+    fused_corpus_scores,
     pad_index,
-    sharded_corpus_topk,
+    query_sq_const,
+    sharded_corpus_topk_cat,
 )
 
 
@@ -194,39 +197,129 @@ def make_retriever(
 
             return retrieve
 
-        # Distances run as XLA's fused matmul: measured on v5e it beats
-        # every hand-written Pallas variant tried (f32 1.11 ms vs 1.99 ms
-        # r1 distance kernel; bf16 distance+approx 0.302 ms vs 0.567 ms
-        # fused select kernel) — docs/DESIGN.md entry 7.
+        # Scores run as ONE stream-concatenated MXU matmul (the one-matmul
+        # layout, parallel.sharding.fuse_index_cat): ranking-identical to
+        # the per-stream fused distances but without their per-stream f32
+        # epilogue over [Q, N].  Measured on v5e at [2, 210k, 128] bf16:
+        # distance+topk 0.308 -> 0.256 ms, top-1 agreement 1.0 vs exact
+        # (docs/DESIGN.md entry 12).  XLA's matmul also beats every
+        # hand-written Pallas variant tried (entry 7).
+        m_cat, msq_fused = fuse_index_cat(index.m, index.m_sq, index.weights)
+        m_cat = jax.device_put(m_cat)
+        msq_fused = jax.device_put(msq_fused)
+
         @jax.jit
         def retrieve(params, tokens, lengths):
             qs = _embed_query_streams(params, model, tokens, lengths,
                                       rnn_kernel)
-            D = fused_corpus_distances(qs, index.m, index.m_sq,
-                                       index.weights, compute_dtype)
-            vals, rows = top_k_select(-D, k, topk_method, approx_recall)
-            return -vals, rows
+            scores = fused_corpus_scores(qs, m_cat, msq_fused, index.weights,
+                                         compute_dtype)
+            vals, rows = top_k_select(scores, k, topk_method, approx_recall)
+            dists = query_sq_const(qs, index.weights)[:, None] - vals
+            return dists, rows
 
         return retrieve
 
     ndev = mesh.shape[axis]
     m, m_sq = pad_index(index.m, index.m_sq, ndev)
+    m_cat, msq_fused = fuse_index_cat(m, m_sq, index.weights)
     # index rows live sharded over ICI; queries/params replicated
-    m = jax.device_put(m, jax.sharding.NamedSharding(
-        mesh, jax.sharding.PartitionSpec(None, axis, None)))
-    m_sq = jax.device_put(m_sq, jax.sharding.NamedSharding(
-        mesh, jax.sharding.PartitionSpec(None, axis)))
+    m_cat = jax.device_put(m_cat, jax.sharding.NamedSharding(
+        mesh, jax.sharding.PartitionSpec(axis, None)))
+    msq_fused = jax.device_put(msq_fused, jax.sharding.NamedSharding(
+        mesh, jax.sharding.PartitionSpec(axis)))
 
     @jax.jit
     def retrieve(params, tokens, lengths):
         qs = _embed_query_streams(params, model, tokens, lengths, rnn_kernel)
-        return sharded_corpus_topk(
-            mesh, qs, m, m_sq, index.weights, k, axis=axis,
+        return sharded_corpus_topk_cat(
+            mesh, qs, m_cat, msq_fused, index.weights, k, axis=axis,
             compute_dtype=compute_dtype, method=topk_method,
             recall=approx_recall,
         )
 
     return retrieve
+
+
+def make_stream_retriever(
+    model: Model,
+    index: MomentIndex,
+    k: int,
+    topk_method: str = "approx",
+    approx_recall: float = 0.95,
+    rnn_kernel: Optional[str] = None,
+    carrier_dtype: str = "auto",
+):
+    """Throughput serving: MANY query batches per dispatch via ``lax.scan``.
+
+    ``(params, tokens [M, Q, T], lengths [M, Q]) -> (dists [M, Q, k],
+    rows [M, Q, k])``.  Why this exists: on this runtime one program
+    dispatch costs ~8 ms of launch overhead (docs/DESIGN.md 7b) against a
+    ~0.4 ms serving batch, and any loop-invariant index preparation XLA
+    inserts (dtype convert, retile of the [N, S*d] operand) re-runs every
+    dispatch.  Scanning M batches inside ONE program amortizes both — this
+    is the program whose steady-state per-batch time bench.py reports.
+
+    ``carrier_dtype="auto"``: a bfloat16 index is carried as DEQUANTIZED
+    float32 (bf16->f32 is exact, so scores are bit-identical to the bf16
+    index) and converted back to bf16 once inside the program — measured
+    on v5e the matmul runs from XLA's own converted+laid-out buffer at
+    0.42 ms/batch vs 0.48 ms reading the stored-bf16 buffer directly.
+    Set "bfloat16" to keep the stored buffer (half the HBM footprint).
+    """
+    if model.cfg.distance == "euclidean" and len(model.streams) > 1:
+        raise NotImplementedError(
+            "corpus retrieval with distance='euclidean' and multiple streams "
+            "is not rank-equivalent to the fused sqeuclidean scorer; use "
+            "sqeuclidean/cosine or a single stream"
+        )
+    score_topk = make_score_topk(model, index, k, topk_method, approx_recall,
+                                 rnn_kernel, carrier_dtype)
+
+    @jax.jit
+    def retrieve_stream(params, tokens, lengths):
+        def body(carry, batch):
+            toks, lens = batch
+            return carry, score_topk(params, toks, lens)
+
+        _, (dists, rows) = jax.lax.scan(body, 0, (tokens, lengths))
+        return dists, rows
+
+    return retrieve_stream
+
+
+def make_score_topk(
+    model: Model,
+    index: MomentIndex,
+    k: int,
+    topk_method: str = "approx",
+    approx_recall: float = 0.95,
+    rnn_kernel: Optional[str] = None,
+    carrier_dtype: str = "auto",
+):
+    """The stream retriever's per-batch body (NOT jitted): ``(params,
+    tokens [Q, T], lengths [Q]) -> (dists [Q, k], rows [Q, k])``.
+    Exposed so bench.py can time exactly this program in its elision-proof
+    in-program loop — the steady-state per-batch cost of
+    ``make_stream_retriever``'s scan."""
+    compute_dtype = model.compute_dtype
+    m_cat, msq_fused = fuse_index_cat(index.m, index.m_sq, index.weights)
+    if (carrier_dtype == "auto" and m_cat.dtype == jnp.bfloat16
+            and compute_dtype == jnp.bfloat16):
+        m_cat = m_cat.astype(jnp.float32)   # exact dequantized carrier
+    m_cat = jax.device_put(m_cat)
+    msq_fused = jax.device_put(msq_fused)
+    from vfr_tpu.ops.topk import top_k_select
+
+    def score_topk(params, toks, lens):
+        qs = _embed_query_streams(params, model, toks, lens, rnn_kernel)
+        scores = fused_corpus_scores(qs, m_cat, msq_fused, index.weights,
+                                     compute_dtype)
+        vals, rows = top_k_select(scores, k, topk_method, approx_recall)
+        dists = query_sq_const(qs, index.weights)[:, None] - vals
+        return dists, rows
+
+    return score_topk
 
 
 def corpus_retrieval(
@@ -256,19 +349,45 @@ def serve_queries(
 
     index = build_moment_index(params, model, dataset, num_videos=num_videos,
                                index_dtype=index_dtype)
-    retrieve = make_retriever(model, index, min(k, index.num_rows), mesh=mesh,
-                              topk_method=topk_method,
-                              approx_recall=approx_recall)
     video_ids = dataset.video_ids
+
+    # tokenize the whole stream into fixed [M, Q, T] blocks
+    M = -(-len(queries) // batch_size)
+    toks_all = np.zeros((M, batch_size, max_query_len), np.int32)
+    lens_all = np.ones((M, batch_size), np.int32)
+    for j, text in enumerate(queries):
+        b, i = divmod(j, batch_size)
+        toks_all[b, i], lens_all[b, i] = vocab.encode(
+            tokenize(text), max_query_len)
+
+    k_eff = min(k, index.num_rows)
+    if mesh is None and M > 1:
+        # many batches -> ONE dispatch: the lax.scan stream retriever
+        # amortizes program-launch + index-prep overhead (~8 ms/dispatch
+        # on this runtime) across all batches
+        retrieve_stream = make_stream_retriever(
+            model, index, k_eff, topk_method=topk_method,
+            approx_recall=approx_recall)
+        d_all, rows_all = retrieve_stream(
+            params, jnp.asarray(toks_all), jnp.asarray(lens_all))
+        d_all, rows_all = np.asarray(d_all), np.asarray(rows_all)
+    else:
+        retrieve = make_retriever(model, index, k_eff, mesh=mesh,
+                                  topk_method=topk_method,
+                                  approx_recall=approx_recall)
+        d_list, r_list = [], []
+        for b in range(M):
+            d, r = retrieve(params, jnp.asarray(toks_all[b]),
+                            jnp.asarray(lens_all[b]))
+            d_list.append(np.asarray(d))
+            r_list.append(np.asarray(r))
+        d_all, rows_all = np.stack(d_list), np.stack(r_list)
+
     out = []
     for start in range(0, len(queries), batch_size):
         chunk = queries[start : start + batch_size]
-        toks = np.zeros((batch_size, max_query_len), np.int32)
-        lens = np.ones(batch_size, np.int32)
-        for i, text in enumerate(chunk):
-            toks[i], lens[i] = vocab.encode(tokenize(text), max_query_len)
-        d, rows = retrieve(params, jnp.asarray(toks), jnp.asarray(lens))
-        d, rows = np.asarray(d), np.asarray(rows)
+        b = start // batch_size
+        d, rows = d_all[b], rows_all[b]
         for i, text in enumerate(chunk):
             results = [
                 {

@@ -56,15 +56,60 @@ def fused_corpus_distances(
     return D
 
 
-def _local_block_topk(q, m_loc, msq_loc, weights, k, compute_dtype, axis,
+def fuse_index_cat(m: jnp.ndarray, m_sq: jnp.ndarray, weights: jnp.ndarray):
+    """One-matmul score layout: ``(m_cat [N, S*d], msq_fused [N])``.
+
+    The fused distance sum_s w_s ||q_s - m_s||^2 ranks identically to the
+    NEGATED score  2 sum_s w_s q_s.m_s - sum_s w_s |m_s|^2  (the |q_s|^2
+    term is query-constant), and the cross term collapses to ONE matmul
+    over stream-concatenated rows: concat_s(2 w_s q_s) @ concat_s(m_s)^T.
+    Measured on v5e at [2, 210k, 128] bf16 this removes the per-stream f32
+    epilogue over [Q, N]: distance+topk 0.308 -> 0.256 ms with bit-identical
+    top-k (docs/DESIGN.md entry 12)."""
+    S = m.shape[0]
+    m_cat = jnp.concatenate([m[s] for s in range(S)], axis=-1)   # [N, S*d]
+    msq_fused = jnp.sum(weights[:, None] * m_sq, axis=0)          # [N]
+    return m_cat, msq_fused
+
+
+def query_cat_scaled(q: jnp.ndarray, weights: jnp.ndarray) -> jnp.ndarray:
+    """[S, Q, d] -> [Q, S*d]: concat_s(2 w_s q_s) for the one-matmul score."""
+    S = q.shape[0]
+    return jnp.concatenate([2.0 * weights[s] * q[s] for s in range(S)],
+                           axis=-1)
+
+
+def query_sq_const(q: jnp.ndarray, weights: jnp.ndarray) -> jnp.ndarray:
+    """[Q]: sum_s w_s |q_s|^2 — maps scores back to true fused distances
+    (distance = q_sq_const - score, applied to the [Q, k] selection only)."""
+    return jnp.sum(weights[:, None] * jnp.sum(q * q, axis=-1), axis=0)
+
+
+def fused_corpus_scores(
+    q: jnp.ndarray,          # [S, Q, d]
+    m_cat: jnp.ndarray,      # [N, S*d]  (storage dtype streams from HBM)
+    msq_fused: jnp.ndarray,  # [N]
+    weights: jnp.ndarray,    # [S]
+    compute_dtype=jnp.float32,
+) -> jnp.ndarray:
+    """Scores [Q, N] (HIGHER = closer): 2 sum_s w_s q_s.m_s - msq_fused."""
+    in_dt = m_cat.dtype if m_cat.dtype == jnp.bfloat16 else compute_dtype
+    qc = query_cat_scaled(q, weights).astype(in_dt)
+    qm = jnp.dot(qc, m_cat.T if m_cat.dtype == in_dt
+                 else m_cat.T.astype(in_dt),
+                 preferred_element_type=jnp.float32)              # [Q, N]
+    return qm - msq_fused[None, :]
+
+
+def _local_block_topk(q, mcat_loc, msq_loc, weights, k, compute_dtype, axis,
                       method="exact", recall=0.95):
-    """shard_map body: local distances -> local top-k -> all-gather -> merge."""
+    """shard_map body: local scores -> local top-k -> all-gather -> merge."""
     from vfr_tpu.ops.topk import top_k_select
 
-    D_loc = fused_corpus_distances(q, m_loc, msq_loc, weights, compute_dtype)
-    n_loc = D_loc.shape[1]
+    S_loc = fused_corpus_scores(q, mcat_loc, msq_loc, weights, compute_dtype)
+    n_loc = S_loc.shape[1]
     k_loc = min(k, n_loc)          # a shard can hold fewer than k rows
-    vals, idx = top_k_select(-D_loc, k_loc, method, recall)  # [Q, k_loc]
+    vals, idx = top_k_select(S_loc, k_loc, method, recall)   # [Q, k_loc]
     shard = jax.lax.axis_index(axis)
     gidx = idx + shard * n_loc                            # global row ids
     # candidates ride ICI: [ndev, Q, k] each
@@ -77,7 +122,9 @@ def _local_block_topk(q, m_loc, msq_loc, weights, k, compute_dtype, axis,
     k_out = min(k, ndev * k_loc)
     best_vals, pos = jax.lax.top_k(cand_vals, k_out)      # [Q, k_out]
     best_idx = jnp.take_along_axis(cand_idx, pos, axis=1)
-    return -best_vals, best_idx                           # distances, row ids
+    # map scores back to true fused distances on the selection only
+    dists = query_sq_const(q, weights)[:, None] - best_vals
+    return dists, best_idx                                # distances, row ids
 
 
 def sharded_corpus_topk(
@@ -98,17 +145,42 @@ def sharded_corpus_topk(
     because every device contributes its full local top-k before the merge;
     property-tested against single-device argsort in tests/test_corpus.py.
     """
+    m_cat, msq_fused = fuse_index_cat(m, m_sq, weights)
+    return sharded_corpus_topk_cat(
+        mesh, q, m_cat, msq_fused, weights, k, axis=axis,
+        compute_dtype=compute_dtype, method=method, recall=recall,
+    )
+
+
+def sharded_corpus_topk_cat(
+    mesh: Mesh,
+    q: jnp.ndarray,           # [S, Q, d]
+    m_cat: jnp.ndarray,       # [N, S*d]  one-matmul layout (fuse_index_cat)
+    msq_fused: jnp.ndarray,   # [N]
+    weights: jnp.ndarray,     # [S]
+    k: int,
+    axis: str = "corpus",
+    compute_dtype=jnp.float32,
+    method: str = "exact",
+    recall: float = 0.95,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Distributed top-k over the precomputed one-matmul index layout.
+
+    ``make_retriever`` builds (m_cat, msq_fused) ONCE and shards them at
+    retriever construction, so the per-call program is just the local score
+    matmul + hierarchical top-k (the concat never re-runs per query batch).
+    """
     ndev = mesh.shape[axis]
-    if m.shape[1] % ndev != 0:
+    if m_cat.shape[0] % ndev != 0:
         raise ValueError(
-            f"index rows ({m.shape[1]}) must be padded to a multiple of the "
-            f"corpus axis size ({ndev}); use pad_index()"
+            f"index rows ({m_cat.shape[0]}) must be padded to a multiple of "
+            f"the corpus axis size ({ndev}); use pad_index()"
         )
     fn = jax.shard_map(
         partial(_local_block_topk, k=k, compute_dtype=compute_dtype, axis=axis,
                 method=method, recall=recall),
         mesh=mesh,
-        in_specs=(P(), P(None, axis, None), P(None, axis), P()),
+        in_specs=(P(), P(axis, None), P(axis), P()),
         out_specs=(P(), P()),
         # After all_gather every device computes the identical merged top-k;
         # JAX's varying-mesh-axes inference can't see that, so the static
@@ -116,7 +188,7 @@ def sharded_corpus_topk(
         # tests/test_corpus.py against single-device argsort).
         check_vma=False,
     )
-    return fn(q, m, m_sq, weights)
+    return fn(q, m_cat, msq_fused, weights)
 
 
 def pad_index(
