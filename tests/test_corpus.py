@@ -370,3 +370,40 @@ class TestStreamRetriever:
         np.testing.assert_array_equal(np.asarray(r_a), np.asarray(r_b))
         np.testing.assert_allclose(np.asarray(d_a), np.asarray(d_b),
                                    rtol=1e-5, atol=1e-5)
+
+
+class TestShardedGtRanker:
+    """sharded_gt_ranks (psum counting over an ICI-sharded index) must equal
+    the single-device counting ranker exactly."""
+
+    def test_matches_single_device(self, trained, devices8):
+        from vfr_tpu.eval.corpus import make_gt_ranker
+
+        cfg, model, params, ds = trained
+        index = build_moment_index(params, model, ds)
+        b = next(ds.eval_batches(16))
+        P = ds.num_proposals
+        gt_rows = (
+            b["video_idx"][:, None] * P + np.maximum(b["gt_prop_idx"], 0)
+        ).astype(np.int32)
+        toks, lens = jnp.asarray(b["tokens"]), jnp.asarray(b["lengths"])
+
+        single = make_gt_ranker(model, index, "scan")
+        mesh = make_mesh(("corpus",), devices=devices8)
+        sharded = make_gt_ranker(model, index, "scan", mesh=mesh)
+        r1 = np.asarray(single(params, toks, lens, jnp.asarray(gt_rows)))
+        r2 = np.asarray(sharded(params, toks, lens, jnp.asarray(gt_rows)))
+        np.testing.assert_array_equal(r1, r2)
+
+    def test_official_corpus_eval_runs_sharded(self, trained, devices8):
+        import dataclasses
+
+        cfg, model, params, ds = trained
+        ecfg = dataclasses.replace(cfg.eval, protocol="didemo_official")
+        mesh = make_mesh(("corpus",), devices=devices8)
+        m_single = corpus_evaluate(params, model, ds, ecfg)
+        m_sharded = corpus_evaluate(params, model, ds, ecfg, mesh=mesh)
+        for k in (1, 5):
+            key = f"corpus_R@{k}_official"
+            assert key in m_sharded
+            assert m_sharded[key] == pytest.approx(m_single[key], abs=1e-9)

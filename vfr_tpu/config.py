@@ -50,6 +50,10 @@ class DataConfig:
     synthetic_num_queries: int = 256
     synthetic_seed: int = 0
     synthetic_noise: float = 0.1
+    # Charades fixture: planted content spans per video.  >1 gives
+    # localization intra-video distractors (a single planted moment makes
+    # window ranking saturate — see data/synthetic.py).
+    synthetic_moments_per_video: int = 1
     # fixture vocabulary size.  Counterintuitively, RAISING it hurt on the
     # quality fixture (2000 words -> each word seen ~8x in 2048 queries,
     # too sparse to learn compositions: corpus video-R@5 0.105 vs 0.139 at

@@ -154,6 +154,7 @@ def _load_charades(dcfg: DataConfig) -> DataBundle:
         noise=dcfg.synthetic_noise,
         with_flow=dcfg.use_flow,
         vocab_words=dcfg.synthetic_vocab_words,
+        moments_per_video=dcfg.synthetic_moments_per_video,
         seed=dcfg.synthetic_seed,
     )
     n_val = max(1, len(fix.annotations) // 5)

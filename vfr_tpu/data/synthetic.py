@@ -137,8 +137,15 @@ def make_charades_fixture(
     vocab_words: int = 200,
     words_per_moment: int = 12,
     words_per_query: int = 8,
+    moments_per_video: int = 1,
     seed: int = 0,
 ) -> SyntheticFixture:
+    """``moments_per_video > 1`` plants that many disjoint content spans per
+    video (each with its own word pool), giving localization intra-video
+    DISTRACTORS — with a single planted moment the GT span is the video's
+    only signal and window ranking saturates (measured R@1=1.0 at noise
+    0.6 on the 256-video quality fixture; the DiDeMo fixture avoids this
+    by partitioning every video into multiple content spans)."""
     rng = np.random.default_rng(seed)
     words = [f"w{i:04d}" for i in range(vocab_words)]
     vocab = Vocab(words)
@@ -161,17 +168,24 @@ def make_charades_fixture(
         flow = np.zeros((T, feature_dim), dtype=np.float32)
         rgb[:n_rows] = noise * rng.standard_normal((n_rows, feature_dim))
         flow[:n_rows] = noise * rng.standard_normal((n_rows, feature_dim))
-        length = float(rng.uniform(8.0, min(26.0, duration)))
-        start = float(rng.uniform(0.0, duration - length))
-        end = start + length
-        pool = _content_words(rng, words, words_per_moment)
-        g = glove[[vocab.stoi[w] for w in pool]].mean(axis=0)
-        a, b = int(np.floor(start)), max(int(np.ceil(end)), int(np.floor(start)) + 1)
-        rgb[a:b] += g @ A
-        flow[a:b] += g @ A_flow
+        # one moment per disjoint slot of the duration
+        slots = np.linspace(0.0, duration, moments_per_video + 1)
+        for j in range(moments_per_video):
+            lo, hi = float(slots[j]), float(slots[j + 1])
+            span_max = min(26.0, hi - lo)
+            span_min = min(8.0, 0.6 * span_max)
+            length = float(rng.uniform(span_min, span_max))
+            start = float(rng.uniform(lo, hi - length))
+            end = start + length
+            pool = _content_words(rng, words, words_per_moment)
+            g = glove[[vocab.stoi[w] for w in pool]].mean(axis=0)
+            a = int(np.floor(start))
+            b = max(int(np.ceil(end)), a + 1)
+            rgb[a:b] += g @ A
+            flow[a:b] += g @ A_flow
+            moments.append((vid, (start, end), pool, duration))
         rgb_table[vid] = rgb
         flow_table[vid] = flow
-        moments.append((vid, (start, end), pool, duration))
 
     annotations: List[dict] = []
     for q in range(num_queries):

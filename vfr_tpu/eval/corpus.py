@@ -403,7 +403,9 @@ def serve_queries(
 
 
 def make_gt_ranker(model: Model, index: MomentIndex,
-                   rnn_kernel: Optional[str] = None):
+                   rnn_kernel: Optional[str] = None,
+                   mesh: Optional[jax.sharding.Mesh] = None,
+                   axis: str = "corpus"):
     """Jitted exact corpus ranks of given index rows (official protocol).
 
     ``(params, tokens, lengths, gt_rows [Q, A]) -> ranks [Q, A]`` where
@@ -411,8 +413,31 @@ def make_gt_ranker(model: Model, index: MomentIndex,
     Computed by counting, not sorting: rank(r) = #{rows with smaller
     distance} + #{equal-distance rows with smaller row id} — exactly the
     stable-argsort position eval/moment_eval uses per-video, without ever
-    materializing a [Q, N] argsort."""
+    materializing a [Q, N] argsort.  With ``mesh`` the index is sharded
+    over the corpus ICI axis and the counts psum
+    (parallel.sharding.sharded_gt_ranks) — property-tested equal to the
+    single-device ranker."""
     compute_dtype = model.compute_dtype
+
+    if mesh is not None:
+        from vfr_tpu.parallel.sharding import sharded_gt_ranks
+
+        ndev = mesh.shape[axis]
+        m, m_sq = pad_index(index.m, index.m_sq, ndev)
+        m = jax.device_put(m, jax.sharding.NamedSharding(
+            mesh, jax.sharding.PartitionSpec(None, axis, None)))
+        m_sq = jax.device_put(m_sq, jax.sharding.NamedSharding(
+            mesh, jax.sharding.PartitionSpec(None, axis)))
+
+        @jax.jit
+        def ranks_sharded(params, tokens, lengths, gt_rows):
+            qs = _embed_query_streams(params, model, tokens, lengths,
+                                      rnn_kernel)
+            return sharded_gt_ranks(mesh, qs, m, m_sq, index.weights,
+                                    gt_rows, axis=axis,
+                                    compute_dtype=compute_dtype)
+
+        return ranks_sharded
 
     @jax.jit
     def ranks(params, tokens, lengths, gt_rows):
@@ -453,14 +478,14 @@ def corpus_evaluate(
                               rnn_kernel=rnn_kernel)
     # Official rank-aggregation protocol at corpus scale (the per-video
     # variant's capability twin): mean of the best-3 CORPUS ranks of the
-    # annotator GT rows, R@k = fraction with 1-based mean <= k.
+    # annotator GT rows, R@k = fraction with 1-based mean <= k.  Exact on
+    # both the single-device and the ICI-sharded (psum-counting) paths.
     official = (
         ecfg.protocol == "didemo_official"
         and hasattr(dataset, "num_proposals")
-        and mesh is None          # exact full-index ranks; single-device path
     )
     if official:
-        gt_ranker = make_gt_ranker(model, index, rnn_kernel)
+        gt_ranker = make_gt_ranker(model, index, rnn_kernel, mesh=mesh)
         P = dataset.num_proposals
         n_official = 0
         official_rank_sum = {k: 0.0 for k in ks}

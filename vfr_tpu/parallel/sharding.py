@@ -191,6 +191,62 @@ def sharded_corpus_topk_cat(
     return fn(q, m_cat, msq_fused, weights)
 
 
+def sharded_gt_ranks(
+    mesh: Mesh,
+    q: jnp.ndarray,        # [S, Q, d]
+    m: jnp.ndarray,        # [S, N, d]  N divisible by the corpus axis size
+    m_sq: jnp.ndarray,     # [S, N]
+    weights: jnp.ndarray,  # [S]
+    gt_rows: jnp.ndarray,  # [Q, A] int32 global row ids
+    axis: str = "corpus",
+    compute_dtype=jnp.float32,
+) -> jnp.ndarray:
+    """Exact corpus ranks of ``gt_rows`` with the index sharded over ICI.
+
+    rank = #{rows with smaller distance} + #{equal-distance rows with
+    smaller row id} — the stable-argsort position, computed by counting
+    (eval/corpus.make_gt_ranker's distributed twin; the didemo_official
+    corpus protocol runs on this when a mesh is present).  Each shard
+    counts its local [Q, N/dev] distance block; the GT row's distance is
+    recovered from its owning shard by a psum of a masked pick (exact —
+    one owner, zeros elsewhere), and the per-shard counts psum over ICI.
+    Communication is O(Q * A) scalars, independent of corpus size.
+    """
+    N = m.shape[1]
+    A = gt_rows.shape[1]
+
+    def body(q, m_loc, msq_loc, w, gt):
+        D = fused_corpus_distances(q, m_loc, msq_loc, w, compute_dtype)
+        n_loc = D.shape[1]
+        shard = jax.lax.axis_index(axis)
+        row0 = shard * n_loc
+        rows = row0 + jnp.arange(n_loc, dtype=jnp.int32)[None, :]  # [1, n_loc]
+        out = []
+        for a in range(A):                                # A static (<=4)
+            g = jnp.clip(gt[:, a], 0, N - 1)
+            owned = (g >= row0) & (g < row0 + n_loc)
+            g_loc = jnp.clip(g - row0, 0, n_loc - 1)
+            d_here = jnp.take_along_axis(D, g_loc[:, None], axis=1)[:, 0]
+            d_g = jax.lax.psum(jnp.where(owned, d_here, 0.0), axis)   # [Q]
+            less = jnp.sum((D < d_g[:, None]).astype(jnp.int32), axis=1)
+            tie = jnp.sum(
+                ((D == d_g[:, None]) & (rows < g[:, None])).astype(jnp.int32),
+                axis=1,
+            )
+            out.append(jax.lax.psum(less + tie, axis))
+        return jnp.stack(out, axis=1)                     # [Q, A]
+
+    fn = jax.shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(P(), P(None, axis, None), P(None, axis), P(), P()),
+        out_specs=P(),
+        # psum outputs are replicated; see sharded_corpus_topk_cat
+        check_vma=False,
+    )
+    return fn(q, m, m_sq, weights, gt_rows)
+
+
 def pad_index(
     m: jnp.ndarray, m_sq: jnp.ndarray, multiple: int
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
