@@ -119,3 +119,64 @@ class TestServe:
         # ranked by ascending distance
         dists = [r["distance"] for r in rec["results"]]
         assert dists == sorted(dists)
+
+    def test_index_save_load_and_serve_parity(self, tmp_path, capsys):
+        """`index` subcommand -> `serve --index-path` must return the same
+        results as serving with an in-process index build, and the saved
+        index must round-trip bit-exactly (incl. bf16)."""
+        import jax.numpy as jnp
+        import numpy as np
+
+        from vfr_tpu.cli import main
+        from vfr_tpu.eval.corpus import load_index, save_index
+
+        rc = main([
+            "train", "--preset", "didemo_rgb",
+            "--data-dir", str(tmp_path / "none"),
+            "--checkpoint-dir", str(tmp_path / "ck"),
+            "--batch-size", "12", "--epochs", "2",
+        ])
+        assert rc == 0
+        capsys.readouterr()
+
+        ipath = tmp_path / "moments.npz"
+        rc = main([
+            "index", "--preset", "didemo_rgb",
+            "--data-dir", str(tmp_path / "none"),
+            "--checkpoint-dir", str(tmp_path / "ck"),
+            "--index-dtype", "bfloat16",
+            "--out", str(ipath),
+        ])
+        assert rc == 0
+        capsys.readouterr()
+
+        # bit-exact round trip
+        idx = load_index(str(ipath))
+        assert idx.m.dtype == jnp.bfloat16
+        save_index(idx, str(tmp_path / "again.npz"))
+        idx2 = load_index(str(tmp_path / "again.npz"))
+        np.testing.assert_array_equal(
+            np.asarray(idx.m).view(np.uint16),
+            np.asarray(idx2.m).view(np.uint16),
+        )
+        np.testing.assert_array_equal(np.asarray(idx.m_sq),
+                                      np.asarray(idx2.m_sq))
+
+        qfile = tmp_path / "queries.txt"
+        qfile.write_text("w0001 w0002 w0003\nw0004 w0005\n")
+
+        def run_serve(extra):
+            rc = main([
+                "serve", "--preset", "didemo_rgb",
+                "--data-dir", str(tmp_path / "none"),
+                "--checkpoint-dir", str(tmp_path / "ck"),
+                "--index-dtype", "bfloat16",
+                "--queries", str(qfile), "--topk", "4", *extra,
+            ])
+            assert rc == 0
+            return [json.loads(l) for l in
+                    capsys.readouterr().out.splitlines() if l.strip()]
+
+        fresh = run_serve([])
+        cached = run_serve(["--index-path", str(ipath)])
+        assert fresh == cached

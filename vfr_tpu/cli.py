@@ -83,6 +83,17 @@ def build_parser() -> argparse.ArgumentParser:
                    choices=["exact", "approx", "fused"])
     s.add_argument("--index-dtype", default=None,
                    choices=["float32", "bfloat16"])
+    s.add_argument("--index-path", default=None,
+                   help="load a prebuilt moment index (see the `index` "
+                        "subcommand) instead of re-embedding the corpus")
+
+    ix = sub.add_parser("index", help="build and save the cached "
+                        "moment-embedding index for fast serving startup")
+    common(ix)
+    ix.add_argument("--out", required=True, help="output .npz path")
+    ix.add_argument("--num-videos", type=int, default=None)
+    ix.add_argument("--index-dtype", default=None,
+                    choices=["float32", "bfloat16"])
 
     k = sub.add_parser("pack", help="convert an .npz feature dump to the "
                        "packed mmap .vfrf format (native fast loader)")
@@ -204,14 +215,30 @@ def main(argv=None) -> int:
         print({k: round(v, 4) for k, v in metrics.items()})
         return 0
 
+    if args.cmd == "index":
+        from vfr_tpu.eval.corpus import build_moment_index, save_index
+        from vfr_tpu.train.loop import load_for_eval
+
+        params, model, bundle = load_for_eval(cfg)
+        index = build_moment_index(
+            params, model, bundle.val,
+            num_videos=cfg.eval.corpus_num_videos,
+            index_dtype=cfg.eval.index_dtype,
+        )
+        path = save_index(index, args.out)
+        print(f"indexed {index.num_videos} videos "
+              f"({index.num_rows} moments, {index.m.dtype}) -> {path}")
+        return 0
+
     if args.cmd == "serve":
         import json
 
-        from vfr_tpu.eval.corpus import serve_queries
+        from vfr_tpu.eval.corpus import load_index, serve_queries
         from vfr_tpu.parallel.mesh import make_mesh
         from vfr_tpu.train.loop import load_for_eval
 
         params, model, bundle = load_for_eval(cfg)
+        index = load_index(args.index_path) if args.index_path else None
         if args.queries == "-":
             queries = [l.strip() for l in sys.stdin if l.strip()]
         else:
@@ -230,6 +257,7 @@ def main(argv=None) -> int:
             topk_method=cfg.eval.topk_method,
             approx_recall=cfg.eval.approx_recall,
             index_dtype=cfg.eval.index_dtype,
+            index=index,
         ):
             print(json.dumps(rec))
         return 0

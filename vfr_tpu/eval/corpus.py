@@ -121,6 +121,50 @@ def build_moment_index(
     )
 
 
+def save_index(index: MomentIndex, path: str) -> str:
+    """Persist the cached moment-embedding index (BASELINE.json:11) so a
+    serving process can start without re-embedding the corpus (PASS 1).
+
+    One .npz file; a bfloat16 index is stored as its raw uint16 bit
+    pattern with a dtype tag (bit-exact round trip)."""
+    m = np.asarray(index.m)
+    if index.m.dtype == jnp.bfloat16:
+        m_store = np.asarray(index.m).view(np.uint16)
+        m_dtype = "bfloat16"
+    else:
+        m_store = m.astype(np.float32)
+        m_dtype = "float32"
+    np.savez(
+        path,
+        m=m_store,
+        m_dtype=np.asarray(m_dtype),
+        m_sq=np.asarray(index.m_sq, np.float32),
+        video_row=index.video_row,
+        prop_idx=index.prop_idx,
+        spans_sec=index.spans_sec,
+        weights=np.asarray(index.weights, np.float32),
+    )
+    return path
+
+
+def load_index(path: str) -> MomentIndex:
+    """Inverse of ``save_index`` (bit-exact, incl. the bf16 pattern)."""
+    with np.load(path) as z:
+        m_dtype = str(z["m_dtype"])
+        if m_dtype == "bfloat16":
+            m = jnp.asarray(z["m"].view(jnp.bfloat16))
+        else:
+            m = jnp.asarray(z["m"], jnp.float32)
+        return MomentIndex(
+            m=m,
+            m_sq=jnp.asarray(z["m_sq"]),
+            video_row=z["video_row"],
+            prop_idx=z["prop_idx"],
+            spans_sec=z["spans_sec"],
+            weights=jnp.asarray(z["weights"]),
+        )
+
+
 def _embed_query_streams(params, model: Model, tokens, lengths,
                          rnn_kernel=None) -> jnp.ndarray:
     """[S, Q, d]: shared LSTM trunk; per-stream or shared projection per
@@ -341,14 +385,21 @@ def serve_queries(
     max_query_len: int = 24, num_videos: int = 0,
     topk_method: str = "exact", approx_recall: float = 0.95,
     index_dtype: str = "float32",
+    index: Optional[MomentIndex] = None,
 ):
     """Large-scale serving (BASELINE.json:11): answer free-text queries
     against the cached moment index; returns a list of
-    ``{"query", "results": [{"video", "start", "end", "distance"}]}``."""
+    ``{"query", "results": [{"video", "start", "end", "distance"}]}``.
+
+    ``index``: a prebuilt/loaded MomentIndex (see save_index/load_index)
+    skips the corpus-embedding PASS 1 — the serving-process cold-start
+    drops to checkpoint load + one retriever compile."""
     from vfr_tpu.data.glove import tokenize
 
-    index = build_moment_index(params, model, dataset, num_videos=num_videos,
-                               index_dtype=index_dtype)
+    if index is None:
+        index = build_moment_index(params, model, dataset,
+                                   num_videos=num_videos,
+                                   index_dtype=index_dtype)
     video_ids = dataset.video_ids
 
     # tokenize the whole stream into fixed [M, Q, T] blocks
