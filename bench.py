@@ -48,7 +48,11 @@ def main():
     import jax.numpy as jnp
 
     from vfr_tpu.config import get_preset
-    from vfr_tpu.eval.corpus import MomentIndex, make_score_topk
+    from vfr_tpu.eval.corpus import (
+        MomentIndex,
+        make_score_topk,
+        prep_score_operands,
+    )
     from vfr_tpu.models.build import build_model
     from vfr_tpu.models.mcn import embed_queries_multi, init_model_params
     from vfr_tpu.parallel.sharding import fuse_index_cat, fused_corpus_scores
@@ -124,12 +128,10 @@ def main():
 
     def dist_body(index):
         # the production retriever's score stage: ONE stream-concatenated
-        # matmul over the fuse_index_cat layout, with the stream
-        # retriever's dequantized-f32 carrier for a bf16 index
-        # (docs/DESIGN.md entries 12/12b)
-        m_cat, msq_fused = fuse_index_cat(index.m, index.m_sq, index.weights)
-        if m_cat.dtype == jnp.bfloat16 and compute_dtype == jnp.bfloat16:
-            m_cat = m_cat.astype(jnp.float32)
+        # matmul over the fuse_index_cat layout with the stream retriever's
+        # carrier policy — prep_score_operands is the same code path
+        # make_score_topk runs (docs/DESIGN.md entries 12/12b)
+        m_cat, msq_fused = prep_score_operands(index, compute_dtype)
 
         def body(i, tokens):
             qs = embed_queries_multi(params, model, perturb(i, tokens),
@@ -175,14 +177,17 @@ def main():
     t_topk = max(sec16 - sec_d16, 1e-9)
 
     # --- roofline accounting -------------------------------------------
-    # distance: the unavoidable traffic is ONE stream of the [S, N, d]
-    # index + its [S, N] norms per batch; the [Q, N] score tensor is
-    # consumed by a fused reduction/PartialReduce and need not round-trip
-    # HBM, so it is excluded (counting it yields >100% "utilization" —
-    # the r1 bench's mistake).
+    # distance: the unavoidable STEADY-STATE traffic is one bf16 stream of
+    # the [N, S*d] one-matmul operand + the [N] fused norms per batch —
+    # for BOTH stored dtypes, because the carrier policy converts an f32
+    # carrier to bf16 once per program (loop-invariant; see
+    # prep_score_operands).  The [Q, N] score tensor is consumed by a
+    # fused reduction/PartialReduce and need not round-trip HBM, so it is
+    # excluded (counting it yields >100% "utilization" — the r1 bench's
+    # mistake; charging f32 bytes for the converted carrier was this
+    # bench's r2 mistake).
     dist_flops = 2.0 * S * Q * N * d
-    dist_bytes32 = S * N * d * 4 + S * N * 4
-    dist_bytes16 = S * N * d * 2 + S * N * 4
+    dist_bytes = S * N * d * 2 + N * 4
     # encode: T sequential steps of [Q, E+H] @ [E+H, 4H] (LSTM, VMEM
     # weights)
     T, E, H = int(cfg.data.max_query_len), int(cfg.data.glove_dim), \
@@ -208,20 +213,20 @@ def main():
         "batch_latency_ms_bf16_index": round(1e3 * sec16, 3),
         "stages_ms": {
             "encode": round(1e3 * sec_enc, 4),
-            "distance_f32_index": round(1e3 * t_dist32, 4),
-            "distance_bf16_index": round(1e3 * t_dist16, 4),
+            "score_f32_stored_index": round(1e3 * t_dist32, 4),
+            "score_bf16_stored_index": round(1e3 * t_dist16, 4),
             "topk": round(1e3 * t_topk, 4),
         },
-        "bf16_distance_speedup": round(t_dist32 / t_dist16, 2),
         "roofline": {
             "hbm_peak_gbps": HBM_GBPS / 1e9,
-            "distance_f32_hbm_util_pct": pct(dist_bytes32 / t_dist32 / HBM_GBPS),
-            "distance_bf16_hbm_util_pct": pct(dist_bytes16 / t_dist16 / HBM_GBPS),
-            "distance_mxu_util_pct_of_bf16_peak": pct(
-                dist_flops / t_dist16 / MXU_BF16_FLOPS
+            "score_stage_hbm_util_pct": pct(
+                dist_bytes / min(t_dist16, t_dist32) / HBM_GBPS
             ),
-            "distance_bf16_speed_of_light_ms": round(1e3 * max(
-                dist_bytes16 / HBM_GBPS, dist_flops / MXU_BF16_FLOPS
+            "score_stage_mxu_util_pct_of_bf16_peak": pct(
+                dist_flops / min(t_dist16, t_dist32) / MXU_BF16_FLOPS
+            ),
+            "score_stage_speed_of_light_ms": round(1e3 * max(
+                dist_bytes / HBM_GBPS, dist_flops / MXU_BF16_FLOPS
             ), 4),
             "encode_mxu_util_pct_of_bf16_peak": pct(
                 enc_flops / sec_enc / MXU_BF16_FLOPS

@@ -407,3 +407,38 @@ class TestShardedGtRanker:
             key = f"corpus_R@{k}_official"
             assert key in m_sharded
             assert m_sharded[key] == pytest.approx(m_single[key], abs=1e-9)
+
+    def test_ties_across_shards_count_identically(self, devices8):
+        """Duplicate rows in different shards: rank counting must match the
+        single-device stable-argsort convention exactly (ties broken by
+        global row id), regardless of which shard owns the GT row."""
+        from vfr_tpu.parallel.sharding import sharded_gt_ranks
+
+        S, Q, N, d = 1, 4, 80, 8
+        rng = np.random.default_rng(7)
+        m = rng.standard_normal((S, N, d)).astype(np.float32)
+        # identical rows straddling shard boundaries (N/8 = 10 per shard)
+        m[0, 9] = m[0, 10] = m[0, 39] = m[0, 70]
+        q = np.repeat(m[:, 10:11, :], Q, axis=1).astype(np.float32)
+        m_sq = (m ** 2).sum(-1)
+        w = np.ones((1,), np.float32)
+        # rank each of the four duplicates
+        gt = np.tile(np.array([[9, 10, 39, 70]], np.int32), (Q, 1))
+
+        mesh = make_mesh(("corpus",), devices=devices8)
+        got = np.asarray(sharded_gt_ranks(
+            mesh, jnp.asarray(q), jnp.asarray(m), jnp.asarray(m_sq),
+            jnp.asarray(w), jnp.asarray(gt)))
+
+        D = np.asarray(fused_corpus_distances(
+            jnp.asarray(q), jnp.asarray(m), jnp.asarray(m_sq),
+            jnp.asarray(w)))
+        order = np.argsort(D, axis=1, kind="stable")
+        position = np.empty_like(order)
+        np.put_along_axis(
+            position, order,
+            np.broadcast_to(np.arange(N), D.shape).astype(order.dtype), axis=1)
+        expect = np.take_along_axis(position, gt, axis=1)
+        np.testing.assert_array_equal(got, expect)
+        # the four duplicates occupy ranks 0..3 in row-id order
+        np.testing.assert_array_equal(np.sort(got[0]), np.arange(4))

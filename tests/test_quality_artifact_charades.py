@@ -48,8 +48,9 @@ def test_localization_in_healthy_band():
 
 
 def test_corpus_retrieval_far_above_chance():
-    m = _load()["corpus"]
-    n_videos = m["corpus_num_rows"] / 64.0
+    art = _load()
+    m = art["corpus"]
+    n_videos = m["corpus_num_rows"] / art["window_bank"]["max_windows"]
     chance_v1 = 1.0 / n_videos
     assert m["corpus_video_R@1"] >= max(20 * chance_v1, 0.25), (m, chance_v1)
     assert m["corpus_video_R@5"] >= 0.4, m

@@ -180,3 +180,32 @@ class TestServe:
         fresh = run_serve([])
         cached = run_serve(["--index-path", str(ipath)])
         assert fresh == cached
+
+    def test_serve_multibatch_fused_topk_falls_back_to_per_batch(
+            self, tmp_path, capsys):
+        """topk_method='fused' (Pallas single-dispatch kernel) is not
+        expressible as the stream-retriever scan body; a multi-batch serve
+        must route it through per-batch make_retriever, not crash."""
+        from vfr_tpu.cli import main
+        from vfr_tpu.config import get_preset
+        from vfr_tpu.data.loaders import load_datasets
+        from vfr_tpu.eval.corpus import serve_queries
+        from vfr_tpu.models.build import build_model
+        from vfr_tpu.models.mcn import init_model_params
+        import dataclasses
+        import jax
+
+        cfg = get_preset("didemo_rgb")
+        cfg = dataclasses.replace(cfg, data=dataclasses.replace(
+            cfg.data, data_dir=str(tmp_path / "none"),
+            synthetic_num_videos=8, synthetic_num_queries=16,
+            feature_dim=32, glove_dim=16))
+        bundle = load_datasets(cfg.data)
+        model = build_model(cfg, dataset=bundle.train)
+        params = init_model_params(jax.random.PRNGKey(0), model,
+                                   bundle.glove, 32)
+        queries = [f"w{i:04d} w{i+1:04d}" for i in range(5)]
+        out = serve_queries(params, model, bundle.val, bundle.vocab, queries,
+                            k=3, batch_size=2, topk_method="fused")
+        assert len(out) == 5
+        assert all(len(rec["results"]) == 3 for rec in out)

@@ -126,7 +126,10 @@ def save_index(index: MomentIndex, path: str) -> str:
     serving process can start without re-embedding the corpus (PASS 1).
 
     One .npz file; a bfloat16 index is stored as its raw uint16 bit
-    pattern with a dtype tag (bit-exact round trip)."""
+    pattern with a dtype tag (bit-exact round trip).  Returns the actual
+    path written (np.savez appends '.npz' when missing)."""
+    if not path.endswith(".npz"):
+        path += ".npz"
     m = np.asarray(index.m)
     if index.m.dtype == jnp.bfloat16:
         m_store = np.asarray(index.m).view(np.uint16)
@@ -311,12 +314,6 @@ def make_stream_retriever(
     0.42 ms/batch vs 0.48 ms reading the stored-bf16 buffer directly.
     Set "bfloat16" to keep the stored buffer (half the HBM footprint).
     """
-    if model.cfg.distance == "euclidean" and len(model.streams) > 1:
-        raise NotImplementedError(
-            "corpus retrieval with distance='euclidean' and multiple streams "
-            "is not rank-equivalent to the fused sqeuclidean scorer; use "
-            "sqeuclidean/cosine or a single stream"
-        )
     score_topk = make_score_topk(model, index, k, topk_method, approx_recall,
                                  rnn_kernel, carrier_dtype)
 
@@ -330,6 +327,20 @@ def make_stream_retriever(
         return dists, rows
 
     return retrieve_stream
+
+
+def prep_score_operands(index: MomentIndex, compute_dtype,
+                        carrier_dtype: str = "auto"):
+    """(m_cat, msq_fused) device operands for the one-matmul score stage,
+    applying the carrier-dtype policy (the single source of truth — the
+    stream retriever and bench.py's stage decomposition both use this):
+    "auto" carries a bf16 index as dequantized f32 when compute is bf16
+    (exact; the in-program convert back to bf16 is loop-invariant)."""
+    m_cat, msq_fused = fuse_index_cat(index.m, index.m_sq, index.weights)
+    if (carrier_dtype == "auto" and m_cat.dtype == jnp.bfloat16
+            and jnp.dtype(compute_dtype) == jnp.bfloat16):
+        m_cat = m_cat.astype(jnp.float32)   # exact dequantized carrier
+    return jax.device_put(m_cat), jax.device_put(msq_fused)
 
 
 def make_score_topk(
@@ -346,13 +357,21 @@ def make_score_topk(
     Exposed so bench.py can time exactly this program in its elision-proof
     in-program loop — the steady-state per-batch cost of
     ``make_stream_retriever``'s scan."""
+    if model.cfg.distance == "euclidean" and len(model.streams) > 1:
+        raise NotImplementedError(
+            "corpus retrieval with distance='euclidean' and multiple streams "
+            "is not rank-equivalent to the fused sqeuclidean scorer; use "
+            "sqeuclidean/cosine or a single stream"
+        )
+    if topk_method == "fused":
+        # the Pallas distance+selection kernel has its own single-dispatch
+        # path in make_retriever; it is not expressible as this scan body
+        raise ValueError(
+            "topk_method='fused' is not supported on the stream-retriever "
+            "path; use make_retriever (single-batch) or 'exact'/'approx'"
+        )
     compute_dtype = model.compute_dtype
-    m_cat, msq_fused = fuse_index_cat(index.m, index.m_sq, index.weights)
-    if (carrier_dtype == "auto" and m_cat.dtype == jnp.bfloat16
-            and compute_dtype == jnp.bfloat16):
-        m_cat = m_cat.astype(jnp.float32)   # exact dequantized carrier
-    m_cat = jax.device_put(m_cat)
-    msq_fused = jax.device_put(msq_fused)
+    m_cat, msq_fused = prep_score_operands(index, compute_dtype, carrier_dtype)
     from vfr_tpu.ops.topk import top_k_select
 
     def score_topk(params, toks, lens):
@@ -396,7 +415,8 @@ def serve_queries(
     drops to checkpoint load + one retriever compile."""
     from vfr_tpu.data.glove import tokenize
 
-    if index is None:
+    owns_index = index is None
+    if owns_index:
         index = build_moment_index(params, model, dataset,
                                    num_videos=num_videos,
                                    index_dtype=index_dtype)
@@ -412,13 +432,20 @@ def serve_queries(
             tokenize(text), max_query_len)
 
     k_eff = min(k, index.num_rows)
-    if mesh is None and M > 1:
+    if mesh is None and M > 1 and topk_method != "fused":
         # many batches -> ONE dispatch: the lax.scan stream retriever
         # amortizes program-launch + index-prep overhead (~8 ms/dispatch
-        # on this runtime) across all batches
+        # on this runtime) across all batches.  ("fused" selects the
+        # Pallas single-dispatch kernel, which only make_retriever wires.)
         retrieve_stream = make_stream_retriever(
             model, index, k_eff, topk_method=topk_method,
             approx_recall=approx_recall)
+        # the retriever holds its own one-matmul copy of the index; drop
+        # the per-stream rows (if we built them) so serving peaks at ~1x,
+        # not ~3x, the index footprint (video_row/spans_sec stay for
+        # result mapping; a caller-owned index is left untouched)
+        if owns_index:
+            index.m, index.m_sq = None, None
         d_all, rows_all = retrieve_stream(
             params, jnp.asarray(toks_all), jnp.asarray(lens_all))
         d_all, rows_all = np.asarray(d_all), np.asarray(rows_all)
