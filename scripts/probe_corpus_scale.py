@@ -60,20 +60,50 @@ for V in (10_000, 100_000):
             (V, 1)),
         weights=jnp.asarray(cfg.model.stream_weights, jnp.float32),
     )
-    retr = make_score_topk(model, index, K,
-                           topk_method=cfg.eval.topk_method,
-                           approx_recall=cfg.eval.approx_recall)
+    from vfr_tpu.eval.corpus import make_stream_retriever
+
+    retr = make_stream_retriever(model, index, K,
+                                 topk_method=cfg.eval.topk_method,
+                                 approx_recall=cfg.eval.approx_recall,
+                                 # at 2.1M rows the f32 carrier would hold
+                                 # a 2.15 GB copy; keep the bf16 buffer
+                                 carrier_dtype="bfloat16" if V > 50_000
+                                 else "auto")
     # free the per-stream rows: the retriever holds the one-matmul carrier
     index.m, index.m_sq = None, None
     del m16, m_sq
 
-    def body(i, tokens):
-        toks = 1 + (tokens + i.astype(jnp.int32)) % (VOCAB - 1)
-        dists, rows = retr(params, toks, lengths)
-        return dists
+    # wall-clock M-differencing through the ACTUAL stream retriever: one
+    # dispatch scans M perturbed batches; execution is forced by fetching
+    # the [M, Q, K] result; the M_small run cancels dispatch overhead.
+    import time
+
+    toks_np = np.asarray(base_tokens)
+    lens_np = np.asarray(lengths)
+
+    consume = jax.jit(lambda d, r: jnp.sum(d) + jnp.sum(r.astype(jnp.float32)))
+
+    def run(M, salt):
+        toks = (toks_np[None] + salt + np.arange(M)[:, None, None]
+                ) % (VOCAB - 1) + 1
+        lens = np.tile(lens_np[None], (M, 1))
+        t0 = time.perf_counter()
+        d, r = retr(params, jnp.asarray(toks.astype(np.int32)),
+                    jnp.asarray(lens))
+        # consume to ONE scalar on device: fetching the [M, Q, K] arrays
+        # over the relay would swamp the measurement
+        float(consume(d, r))
+        return time.perf_counter() - t0
 
     print(f"timing V={V}...", file=sys.stderr, flush=True)
-    sec = device_seconds_per_iter(body, base_tokens)
+    M_small, M_big = 4, 36 if V > 50_000 else 100
+    run(M_big, 0)   # compile + warm
+    diffs = []
+    for rep in range(3):
+        t_small = run(M_small, 1000 * rep + 1)
+        t_big = run(M_big, 1000 * rep + 500)
+        diffs.append((t_big - t_small) / (M_big - M_small))
+    sec = sorted(diffs)[1]
     out[f"V{V}"] = {
         "index_rows": N,
         "batch_latency_ms": round(1e3 * sec, 3),

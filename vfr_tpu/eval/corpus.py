@@ -255,8 +255,12 @@ def make_retriever(
         m_cat = jax.device_put(m_cat)
         msq_fused = jax.device_put(msq_fused)
 
+        # operands ride as jit ARGUMENTS, not captured constants — a
+        # closed-over index would be serialized into the executable
+        # (gigabytes at 100k-video scale; breaks this runtime's
+        # remote-compile relay and bloats every program)
         @jax.jit
-        def retrieve(params, tokens, lengths):
+        def _retrieve(m_cat, msq_fused, params, tokens, lengths):
             qs = _embed_query_streams(params, model, tokens, lengths,
                                       rnn_kernel)
             scores = fused_corpus_scores(qs, m_cat, msq_fused, index.weights,
@@ -264,6 +268,9 @@ def make_retriever(
             vals, rows = top_k_select(scores, k, topk_method, approx_recall)
             dists = query_sq_const(qs, index.weights)[:, None] - vals
             return dists, rows
+
+        def retrieve(params, tokens, lengths):
+            return _retrieve(m_cat, msq_fused, params, tokens, lengths)
 
         return retrieve
 
@@ -314,17 +321,24 @@ def make_stream_retriever(
     0.42 ms/batch vs 0.48 ms reading the stored-bf16 buffer directly.
     Set "bfloat16" to keep the stored buffer (half the HBM footprint).
     """
-    score_topk = make_score_topk(model, index, k, topk_method, approx_recall,
-                                 rnn_kernel, carrier_dtype)
+    fn, m_cat, msq_fused = _score_topk_with_operands(
+        model, index, k, topk_method, approx_recall, rnn_kernel,
+        carrier_dtype)
 
+    # operands are jit ARGUMENTS (see make_retriever): a captured index
+    # constant gets serialized with the executable — gigabytes at
+    # 100k-video scale
     @jax.jit
-    def retrieve_stream(params, tokens, lengths):
+    def _retrieve(m_cat, msq_fused, params, tokens, lengths):
         def body(carry, batch):
             toks, lens = batch
-            return carry, score_topk(params, toks, lens)
+            return carry, fn(m_cat, msq_fused, params, toks, lens)
 
         _, (dists, rows) = jax.lax.scan(body, 0, (tokens, lengths))
         return dists, rows
+
+    def retrieve_stream(params, tokens, lengths):
+        return _retrieve(m_cat, msq_fused, params, tokens, lengths)
 
     return retrieve_stream
 
@@ -357,6 +371,29 @@ def make_score_topk(
     Exposed so bench.py can time exactly this program in its elision-proof
     in-program loop — the steady-state per-batch cost of
     ``make_stream_retriever``'s scan."""
+    fn, m_cat, msq_fused = _score_topk_with_operands(
+        model, index, k, topk_method, approx_recall, rnn_kernel,
+        carrier_dtype)
+
+    def score_topk(params, toks, lens):
+        return fn(m_cat, msq_fused, params, toks, lens)
+
+    return score_topk
+
+
+def _score_topk_with_operands(
+    model: Model,
+    index: MomentIndex,
+    k: int,
+    topk_method: str,
+    approx_recall: float,
+    rnn_kernel: Optional[str],
+    carrier_dtype: str,
+):
+    """(fn(m_cat, msq_fused, params, toks, lens), m_cat, msq_fused) — the
+    score+topk body with its index operands as explicit arguments so the
+    jitted caller passes them at run time instead of capturing them as
+    program constants."""
     if model.cfg.distance == "euclidean" and len(model.streams) > 1:
         raise NotImplementedError(
             "corpus retrieval with distance='euclidean' and multiple streams "
@@ -364,25 +401,24 @@ def make_score_topk(
             "sqeuclidean/cosine or a single stream"
         )
     if topk_method == "fused":
-        # the Pallas distance+selection kernel has its own single-dispatch
-        # path in make_retriever; it is not expressible as this scan body
         raise ValueError(
             "topk_method='fused' is not supported on the stream-retriever "
             "path; use make_retriever (single-batch) or 'exact'/'approx'"
         )
     compute_dtype = model.compute_dtype
     m_cat, msq_fused = prep_score_operands(index, compute_dtype, carrier_dtype)
+    weights = index.weights
     from vfr_tpu.ops.topk import top_k_select
 
-    def score_topk(params, toks, lens):
+    def fn(m_cat, msq_fused, params, toks, lens):
         qs = _embed_query_streams(params, model, toks, lens, rnn_kernel)
-        scores = fused_corpus_scores(qs, m_cat, msq_fused, index.weights,
+        scores = fused_corpus_scores(qs, m_cat, msq_fused, weights,
                                      compute_dtype)
         vals, rows = top_k_select(scores, k, topk_method, approx_recall)
-        dists = query_sq_const(qs, index.weights)[:, None] - vals
+        dists = query_sq_const(qs, weights)[:, None] - vals
         return dists, rows
 
-    return score_topk
+    return fn, m_cat, msq_fused
 
 
 def corpus_retrieval(
@@ -507,20 +543,25 @@ def make_gt_ranker(model: Model, index: MomentIndex,
         m_sq = jax.device_put(m_sq, jax.sharding.NamedSharding(
             mesh, jax.sharding.PartitionSpec(None, axis)))
 
+        # index operands as jit args, not captured constants (see
+        # make_retriever — captured constants ship with the executable)
         @jax.jit
-        def ranks_sharded(params, tokens, lengths, gt_rows):
+        def _ranks_sharded(m, m_sq, params, tokens, lengths, gt_rows):
             qs = _embed_query_streams(params, model, tokens, lengths,
                                       rnn_kernel)
             return sharded_gt_ranks(mesh, qs, m, m_sq, index.weights,
                                     gt_rows, axis=axis,
                                     compute_dtype=compute_dtype)
 
+        def ranks_sharded(params, tokens, lengths, gt_rows):
+            return _ranks_sharded(m, m_sq, params, tokens, lengths, gt_rows)
+
         return ranks_sharded
 
     @jax.jit
-    def ranks(params, tokens, lengths, gt_rows):
+    def _ranks(m, m_sq, params, tokens, lengths, gt_rows):
         qs = _embed_query_streams(params, model, tokens, lengths, rnn_kernel)
-        D = fused_corpus_distances(qs, index.m, index.m_sq, index.weights,
+        D = fused_corpus_distances(qs, m, m_sq, index.weights,
                                    compute_dtype)             # [Q, N]
         row_ids = jnp.arange(D.shape[1], dtype=jnp.int32)
         out = []
@@ -534,6 +575,9 @@ def make_gt_ranker(model: Model, index: MomentIndex,
             )
             out.append(less + tie)
         return jnp.stack(out, axis=1)                         # [Q, A]
+
+    def ranks(params, tokens, lengths, gt_rows):
+        return _ranks(index.m, index.m_sq, params, tokens, lengths, gt_rows)
 
     return ranks
 
