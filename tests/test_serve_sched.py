@@ -209,3 +209,55 @@ class TestServe:
                             k=3, batch_size=2, topk_method="fused")
         assert len(out) == 5
         assert all(len(rec["results"]) == 3 for rec in out)
+
+    def test_serve_follow_streams_per_line(self, tmp_path, capsys,
+                                           monkeypatch):
+        """--follow answers stdin line by line against one compiled
+        retriever; results must match one-shot serve for the same query."""
+        import io
+
+        from vfr_tpu.cli import main
+
+        rc = main([
+            "train", "--preset", "didemo_rgb",
+            "--data-dir", str(tmp_path / "none"),
+            "--checkpoint-dir", str(tmp_path / "ck"),
+            "--batch-size", "12", "--epochs", "2",
+        ])
+        assert rc == 0
+        capsys.readouterr()
+
+        monkeypatch.setattr(
+            "sys.stdin", io.StringIO("w0001 w0002 w0003\nw0004 w0005\n"))
+        rc = main([
+            "serve", "--preset", "didemo_rgb",
+            "--data-dir", str(tmp_path / "none"),
+            "--checkpoint-dir", str(tmp_path / "ck"),
+            "--queries", "-", "--follow", "--topk", "4",
+        ])
+        assert rc == 0
+        lines = [l for l in capsys.readouterr().out.splitlines() if l.strip()]
+        recs = [json.loads(l) for l in lines]
+        assert [r["query"] for r in recs] == ["w0001 w0002 w0003",
+                                              "w0004 w0005"]
+
+        qfile = tmp_path / "queries.txt"
+        qfile.write_text("w0001 w0002 w0003\nw0004 w0005\n")
+        rc = main([
+            "serve", "--preset", "didemo_rgb",
+            "--data-dir", str(tmp_path / "none"),
+            "--checkpoint-dir", str(tmp_path / "ck"),
+            "--queries", str(qfile), "--topk", "4",
+        ])
+        assert rc == 0
+        oneshot = [json.loads(l) for l in
+                   capsys.readouterr().out.splitlines() if l.strip()]
+        # batch shapes differ (micro-batch 8 vs one-shot 128), so distances
+        # can differ in the last float32 ulp — compare structure + tolerance
+        assert len(recs) == len(oneshot)
+        for a, b in zip(recs, oneshot):
+            assert a["query"] == b["query"]
+            for ra, rb in zip(a["results"], b["results"]):
+                assert (ra["video"], ra["start"], ra["end"]) == \
+                    (rb["video"], rb["start"], rb["end"])
+                assert abs(ra["distance"] - rb["distance"]) < 1e-4

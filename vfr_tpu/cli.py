@@ -86,6 +86,10 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("--index-path", default=None,
                    help="load a prebuilt moment index (see the `index` "
                         "subcommand) instead of re-embedding the corpus")
+    s.add_argument("--follow", action="store_true",
+                   help="daemon mode: answer stdin queries line by line "
+                        "(one JSON line per query, flushed immediately) "
+                        "against the cached index until EOF")
 
     ix = sub.add_parser("index", help="build and save the cached "
                         "moment-embedding index for fast serving startup")
@@ -239,6 +243,29 @@ def main(argv=None) -> int:
 
         params, model, bundle = load_for_eval(cfg)
         index = load_index(args.index_path) if args.index_path else None
+
+        if args.follow:
+            from vfr_tpu.eval.corpus import serve_follow
+
+            lines = (
+                l.strip() for l in
+                (sys.stdin if args.queries == "-"
+                 else open(args.queries, "r", encoding="utf-8"))
+                if l.strip()
+            )
+            for rec in serve_follow(
+                params, model, bundle.val, bundle.vocab, lines,
+                k=args.topk,
+                max_query_len=cfg.data.max_query_len,
+                num_videos=cfg.eval.corpus_num_videos,
+                topk_method=cfg.eval.topk_method,
+                approx_recall=cfg.eval.approx_recall,
+                index_dtype=cfg.eval.index_dtype,
+                index=index,
+            ):
+                print(json.dumps(rec), flush=True)
+            return 0
+
         if args.queries == "-":
             queries = [l.strip() for l in sys.stdin if l.strip()]
         else:

@@ -516,6 +516,53 @@ def serve_queries(
     return out
 
 
+def serve_follow(
+    params, model: Model, dataset, vocab, lines, k: int = 10,
+    max_query_len: int = 24, num_videos: int = 0,
+    topk_method: str = "exact", approx_recall: float = 0.95,
+    index_dtype: str = "float32",
+    index: Optional[MomentIndex] = None,
+    micro_batch: int = 8,
+):
+    """Daemon serving: answer an ITERATOR of query strings one at a time,
+    yielding one result record per query as soon as it is available (the
+    `serve --follow` CLI mode).
+
+    Each line rides row 0 of a fixed ``[micro_batch, T]`` token block so
+    ONE compiled retriever program serves every request (no per-request
+    recompiles; the remaining rows are padding).  The index is built (or
+    loaded) once up front — steady-state request latency is the retriever
+    dispatch only."""
+    from vfr_tpu.data.glove import tokenize
+
+    if index is None:
+        index = build_moment_index(params, model, dataset,
+                                   num_videos=num_videos,
+                                   index_dtype=index_dtype)
+    retrieve = make_retriever(model, index, min(k, index.num_rows),
+                              topk_method=topk_method,
+                              approx_recall=approx_recall)
+    video_ids = dataset.video_ids
+    for text in lines:
+        toks = np.zeros((micro_batch, max_query_len), np.int32)
+        lens = np.ones(micro_batch, np.int32)
+        toks[0], lens[0] = vocab.encode(tokenize(text), max_query_len)
+        d, rows = retrieve(params, jnp.asarray(toks), jnp.asarray(lens))
+        d, rows = np.asarray(d)[0], np.asarray(rows)[0]
+        yield {
+            "query": text,
+            "results": [
+                {
+                    "video": video_ids[int(index.video_row[r])],
+                    "start": float(index.spans_sec[r, 0]),
+                    "end": float(index.spans_sec[r, 1]),
+                    "distance": float(d[j]),
+                }
+                for j, r in enumerate(rows)
+            ],
+        }
+
+
 def make_gt_ranker(model: Model, index: MomentIndex,
                    rnn_kernel: Optional[str] = None,
                    mesh: Optional[jax.sharding.Mesh] = None,
