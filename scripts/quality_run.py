@@ -61,9 +61,9 @@ def main():
             # nearest wrong-video moments.  Without it (same run, mining
             # off): corpus video R@1/R@5 = 0.034/0.139 — in-batch margins
             # go to ~0 while full-corpus recall stalls at ~4x chance.
-            hard_negative_count=4,
+            hard_negative_count=8,
             hard_negative_start_epoch=3,
-            hard_negative_refresh_epochs=2,
+            hard_negative_refresh_epochs=1,
             checkpoint_dir=os.path.join(OUT, "ck"),
             metrics_path=os.path.join(OUT, "metrics.jsonl"),
         ),

@@ -62,9 +62,9 @@ def main():
             # what moves it
             lambda_inter=0.5,
             inter_negatives="all_spans",
-            hard_negative_count=4,
+            hard_negative_count=8,
             hard_negative_start_epoch=3,
-            hard_negative_refresh_epochs=2,
+            hard_negative_refresh_epochs=1,
             checkpoint_dir=os.path.join(OUT, "ck"),
             metrics_path=os.path.join(OUT, "metrics.jsonl"),
         ),

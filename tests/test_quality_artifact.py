@@ -36,16 +36,17 @@ def test_artifact_exists_and_is_complete():
 
 def test_localization_in_healthy_band():
     m = _load()["eval_threshold"]
-    assert m["R@1_tiou0.5"] >= 0.25, m          # chance ~0.05-0.14
-    assert m["R@5_tiou0.5"] >= 0.6, m
+    # committed artifact (count-8/refresh-1 mining): R@1 0.895, mIoU 0.861
+    assert m["R@1_tiou0.5"] >= 0.6, m           # chance ~0.05-0.14
+    assert m["R@5_tiou0.5"] >= 0.8, m
     assert m["R@5_tiou0.5"] >= m["R@1_tiou0.5"]
     assert m["R@1_tiou0.5"] >= m["R@1_tiou0.7"]
-    assert 0.2 <= m["mIoU"] <= 1.0, m
+    assert 0.5 <= m["mIoU"] <= 1.0, m
 
 
 def test_official_protocol_consistent():
     m = _load()["eval_official"]
-    assert m["R@5_official"] >= m["R@1_official"] >= 0.15, m
+    assert m["R@5_official"] >= m["R@1_official"] >= 0.4, m
     assert np.isfinite(m["mIoU_official"])
 
 
@@ -54,14 +55,15 @@ def test_corpus_retrieval_far_above_chance():
     CAL-era literature reports single-digit corpus R@1), and in-batch
     negatives alone stall at ~4x chance (video R@1 0.034 measured).  The
     committed artifact trains WITH index-based hard-negative mining
-    (docs/DESIGN.md entry 11): video R@1 0.196 (~27x chance), video R@5
-    0.337.  Thresholds sit halfway to chance so rerun jitter passes but a
-    mining/loss regression fails."""
+    (docs/DESIGN.md entries 11/11b, count 8 / refresh every epoch):
+    video R@1 0.306 (~42x chance), video R@5 0.506.  Thresholds sit
+    halfway to chance so rerun jitter passes but a mining/loss
+    regression fails."""
     m = _load()["corpus"]
     n_rows = m["corpus_num_rows"]
     n_videos = n_rows / 21.0
     chance_v1 = 1.0 / n_videos                        # top-1 row's video
-    assert m["corpus_video_R@1"] >= max(10 * chance_v1, 0.10), (m, chance_v1)
-    assert m["corpus_video_R@5"] >= 0.2, m
+    assert m["corpus_video_R@1"] >= max(15 * chance_v1, 0.18), (m, chance_v1)
+    assert m["corpus_video_R@5"] >= 0.35, m
     assert m["corpus_R@5_tiou0.5"] <= m["corpus_video_R@5"]
-    assert m["corpus_R@1_tiou0.5"] >= 0.08, m
+    assert m["corpus_R@1_tiou0.5"] >= 0.18, m

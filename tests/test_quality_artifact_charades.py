@@ -7,9 +7,10 @@ scripts/quality_run_charades.py trains the charades_sta preset on a
 R@1=1.0, see data/synthetic.py) plus index-based hard-negative mining,
 and commits its metrics to artifacts/quality_charades/.
 
-Committed artifact (TPU run, noise 0.25, 20 epochs): R@1@0.5 0.963,
-R@1@0.7 0.800, mIoU 0.779; corpus video R@1 0.521 / R@5 0.731 over
-13120 index rows (205 videos x 64-window bank, chance ~= 0.005).
+Committed artifact (TPU run, noise 0.25, 20 epochs, count-8/refresh-1
+mining): R@1@0.5 0.980, R@1@0.7 0.822, mIoU 0.794; corpus video R@1
+0.782 / R@5 0.924 over 13120 index rows (205 videos x 64-window bank,
+chance ~= 0.005).
 Thresholds sit halfway to chance so rerun jitter passes but a window-bank
 / masking / mining regression fails.
 """
@@ -41,7 +42,7 @@ def test_localization_in_healthy_band():
     # R@1@0.5 ~0.24 (BASELINE.md) — the fixture is easier than real data
     # but must NOT be saturated (that would gate nothing)
     assert 0.7 <= m["R@1_tiou0.5"] <= 1.0, m
-    assert m["R@1_tiou0.7"] >= 0.5, m
+    assert m["R@1_tiou0.7"] >= 0.6, m
     assert m["R@5_tiou0.5"] >= m["R@1_tiou0.5"]
     assert m["R@1_tiou0.5"] >= m["R@1_tiou0.7"]
     assert 0.5 <= m["mIoU"] <= 1.0, m
@@ -52,7 +53,7 @@ def test_corpus_retrieval_far_above_chance():
     m = art["corpus"]
     n_videos = m["corpus_num_rows"] / art["window_bank"]["max_windows"]
     chance_v1 = 1.0 / n_videos
-    assert m["corpus_video_R@1"] >= max(20 * chance_v1, 0.25), (m, chance_v1)
-    assert m["corpus_video_R@5"] >= 0.4, m
+    assert m["corpus_video_R@1"] >= max(40 * chance_v1, 0.5), (m, chance_v1)
+    assert m["corpus_video_R@5"] >= 0.7, m
     assert m["corpus_R@5_tiou0.5"] <= m["corpus_video_R@5"]
-    assert m["corpus_R@1_tiou0.5"] >= 0.2, m
+    assert m["corpus_R@1_tiou0.5"] >= 0.5, m
