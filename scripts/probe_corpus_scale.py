@@ -1,7 +1,7 @@
 """Probe: serving scaling with corpus size (10k -> 100k videos).
 
 The serving preset benches a 10k-video corpus (210k moments).  This probe
-measures the same production scan body (make_score_topk) at 100k videos
+wall-clocks the production make_stream_retriever at 100k videos
 (2.1M moments; bf16 one-matmul operand ~1.08 GB of the 16 GB HBM) to show
 the large-scale-serving claim holds an order of magnitude up: the score
 stage scales linearly with N at the HBM roofline while encode stays
@@ -18,10 +18,9 @@ import jax.numpy as jnp
 import numpy as np
 
 from vfr_tpu.config import get_preset
-from vfr_tpu.eval.corpus import MomentIndex, make_score_topk
+from vfr_tpu.eval.corpus import MomentIndex
 from vfr_tpu.models.build import build_model
 from vfr_tpu.models.mcn import init_model_params
-from vfr_tpu.utils.timing import device_seconds_per_iter
 
 P, d, S = 21, 128, 2
 Q, K = 128, 100
@@ -97,7 +96,8 @@ for V in (10_000, 100_000):
 
     print(f"timing V={V}...", file=sys.stderr, flush=True)
     M_small, M_big = 4, 36 if V > 50_000 else 100
-    run(M_big, 0)   # compile + warm
+    run(M_big, 0)     # compile + warm the M_big program (and `consume`)
+    run(M_small, 0)   # ...and the M_small program, so no rep times a compile
     diffs = []
     for rep in range(3):
         t_small = run(M_small, 1000 * rep + 1)

@@ -245,25 +245,35 @@ def main(argv=None) -> int:
         index = load_index(args.index_path) if args.index_path else None
 
         if args.follow:
-            from vfr_tpu.eval.corpus import serve_follow
+            import contextlib
 
-            lines = (
-                l.strip() for l in
-                (sys.stdin if args.queries == "-"
-                 else open(args.queries, "r", encoding="utf-8"))
-                if l.strip()
-            )
-            for rec in serve_follow(
-                params, model, bundle.val, bundle.vocab, lines,
-                k=args.topk,
-                max_query_len=cfg.data.max_query_len,
-                num_videos=cfg.eval.corpus_num_videos,
-                topk_method=cfg.eval.topk_method,
-                approx_recall=cfg.eval.approx_recall,
-                index_dtype=cfg.eval.index_dtype,
-                index=index,
-            ):
-                print(json.dumps(rec), flush=True)
+            from vfr_tpu.eval.corpus import serve_follow
+            from vfr_tpu.parallel.mesh import make_mesh
+
+            mesh = None
+            shards = cfg.eval.corpus_shards
+            if shards > 1 and len(jax.devices()) >= shards:
+                mesh = make_mesh(("corpus",), shape=(shards,))
+
+            with contextlib.ExitStack() as stack:
+                if args.queries == "-":
+                    src = sys.stdin
+                else:
+                    src = stack.enter_context(
+                        open(args.queries, "r", encoding="utf-8"))
+                lines = (s for s in (l.strip() for l in src) if s)
+                for rec in serve_follow(
+                    params, model, bundle.val, bundle.vocab, lines,
+                    k=args.topk,
+                    max_query_len=cfg.data.max_query_len,
+                    num_videos=cfg.eval.corpus_num_videos,
+                    topk_method=cfg.eval.topk_method,
+                    approx_recall=cfg.eval.approx_recall,
+                    index_dtype=cfg.eval.index_dtype,
+                    index=index,
+                    mesh=mesh,
+                ):
+                    print(json.dumps(rec), flush=True)
             return 0
 
         if args.queries == "-":

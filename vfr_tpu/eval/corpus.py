@@ -55,6 +55,30 @@ class MomentIndex:
         return int(self.video_row.max()) + 1 if len(self.video_row) else 0
 
 
+# Compiled-program caches keyed by the model's SEMANTIC signature (config
+# + the constant tables the traced program bakes in).  Factories like
+# build_moment_index / make_retriever are re-invoked every hard-negative
+# mining refresh (train/hard_negatives.py) with identical programs — a
+# fresh @jax.jit closure per call would recompile each time.
+_JIT_CACHE: Dict = {}
+
+
+def _model_key(model: Model):
+    import hashlib
+
+    def h(a):
+        return (hashlib.sha1(np.asarray(a).tobytes()).hexdigest()
+                if a is not None else None)
+
+    return (model.cfg, tuple(model.streams), model.freeze_embeddings,
+            h(model.pool_matrix), h(model.tef))
+
+
+def _query_model_key(model: Model):
+    # query-tower programs never touch pool_matrix/tef
+    return (model.cfg, tuple(model.streams), model.freeze_embeddings)
+
+
 def build_moment_index(
     params, model: Model, dataset, batch_size: int = 128,
     num_videos: int = 0, index_dtype: str = "float32",
@@ -64,12 +88,18 @@ def build_moment_index(
     P = dataset.num_proposals
     is_charades = hasattr(dataset, "windows")
 
-    @jax.jit
-    def embed_block(params, feats, tef, context_mask):
-        m = embed_moments(params, model, feats, tef=tef,
-                          context_mask=context_mask)
-        stacked = jnp.stack([m[s] for s in model.streams])   # [S, B, P, d]
-        return stacked
+    cache_key = ("embed_block", _model_key(model))
+    embed_block = _JIT_CACHE.get(cache_key)
+    if embed_block is None:
+
+        @jax.jit
+        def embed_block(params, feats, tef, context_mask):
+            m = embed_moments(params, model, feats, tef=tef,
+                              context_mask=context_mask)
+            stacked = jnp.stack([m[s] for s in model.streams])  # [S, B, P, d]
+            return stacked
+
+        _JIT_CACHE[cache_key] = embed_block
 
     blocks = []
     for start in range(0, V, batch_size):
@@ -232,15 +262,18 @@ def make_retriever(
                 bin_size //= 2
 
             @jax.jit
-            def retrieve(params, tokens, lengths):
+            def _retrieve(m, m_sq, params, tokens, lengths):
                 qs = _embed_query_streams(params, model, tokens, lengths,
                                           rnn_kernel)
                 cand_d, cand_rows = pallas_distance_select(
-                    qs, index.m, index.m_sq, w_tuple, bin_size=bin_size
+                    qs, m, m_sq, w_tuple, bin_size=bin_size
                 )
                 vals, pos = jax.lax.top_k(-cand_d, min(k, cand_d.shape[1]))
                 rows = jnp.take_along_axis(cand_rows, pos, axis=1)
                 return -vals, rows
+
+            def retrieve(params, tokens, lengths):
+                return _retrieve(index.m, index.m_sq, params, tokens, lengths)
 
             return retrieve
 
@@ -258,16 +291,28 @@ def make_retriever(
         # operands ride as jit ARGUMENTS, not captured constants — a
         # closed-over index would be serialized into the executable
         # (gigabytes at 100k-video scale; breaks this runtime's
-        # remote-compile relay and bloats every program)
-        @jax.jit
-        def _retrieve(m_cat, msq_fused, params, tokens, lengths):
-            qs = _embed_query_streams(params, model, tokens, lengths,
-                                      rnn_kernel)
-            scores = fused_corpus_scores(qs, m_cat, msq_fused, index.weights,
-                                         compute_dtype)
-            vals, rows = top_k_select(scores, k, topk_method, approx_recall)
-            dists = query_sq_const(qs, index.weights)[:, None] - vals
-            return dists, rows
+        # remote-compile relay and bloats every program).  The jitted fn
+        # is cached so per-refresh factory calls (hard-negative mining)
+        # reuse the compiled program.
+        weights = index.weights
+        cache_key = ("retrieve", _query_model_key(model), k, topk_method,
+                     approx_recall, rnn_kernel,
+                     tuple(np.asarray(weights).tolist()))
+        _retrieve = _JIT_CACHE.get(cache_key)
+        if _retrieve is None:
+
+            @jax.jit
+            def _retrieve(m_cat, msq_fused, params, tokens, lengths):
+                qs = _embed_query_streams(params, model, tokens, lengths,
+                                          rnn_kernel)
+                scores = fused_corpus_scores(qs, m_cat, msq_fused, weights,
+                                             compute_dtype)
+                vals, rows = top_k_select(scores, k, topk_method,
+                                          approx_recall)
+                dists = query_sq_const(qs, weights)[:, None] - vals
+                return dists, rows
+
+            _JIT_CACHE[cache_key] = _retrieve
 
         def retrieve(params, tokens, lengths):
             return _retrieve(m_cat, msq_fused, params, tokens, lengths)
@@ -282,15 +327,21 @@ def make_retriever(
         mesh, jax.sharding.PartitionSpec(axis, None)))
     msq_fused = jax.device_put(msq_fused, jax.sharding.NamedSharding(
         mesh, jax.sharding.PartitionSpec(axis)))
+    weights = index.weights
 
+    # operands as jit args (not captured constants) here too — the
+    # sharded index is exactly the configuration large corpora use
     @jax.jit
-    def retrieve(params, tokens, lengths):
+    def _retrieve(m_cat, msq_fused, params, tokens, lengths):
         qs = _embed_query_streams(params, model, tokens, lengths, rnn_kernel)
         return sharded_corpus_topk_cat(
-            mesh, qs, m_cat, msq_fused, index.weights, k, axis=axis,
+            mesh, qs, m_cat, msq_fused, weights, k, axis=axis,
             compute_dtype=compute_dtype, method=topk_method,
             recall=approx_recall,
         )
+
+    def retrieve(params, tokens, lengths):
+        return _retrieve(m_cat, msq_fused, params, tokens, lengths)
 
     return retrieve
 
@@ -523,6 +574,7 @@ def serve_follow(
     index_dtype: str = "float32",
     index: Optional[MomentIndex] = None,
     micro_batch: int = 8,
+    mesh: Optional[jax.sharding.Mesh] = None,
 ):
     """Daemon serving: answer an ITERATOR of query strings one at a time,
     yielding one result record per query as soon as it is available (the
@@ -535,13 +587,20 @@ def serve_follow(
     dispatch only."""
     from vfr_tpu.data.glove import tokenize
 
-    if index is None:
+    owns_index = index is None
+    if owns_index:
         index = build_moment_index(params, model, dataset,
                                    num_videos=num_videos,
                                    index_dtype=index_dtype)
     retrieve = make_retriever(model, index, min(k, index.num_rows),
+                              mesh=mesh,
                               topk_method=topk_method,
                               approx_recall=approx_recall)
+    if owns_index and topk_method != "fused":
+        # the retriever holds its own one-matmul copy; drop the per-stream
+        # rows so a long-lived daemon peaks at ~1x the index footprint
+        # ("fused" reads index.m per call — keep it then)
+        index.m, index.m_sq = None, None
     video_ids = dataset.video_ids
     for text in lines:
         toks = np.zeros((micro_batch, max_query_len), np.int32)

@@ -14,7 +14,10 @@ TPU notes: mining is one retrieval pass over the training set (exact top-k;
 the index build and scoring are the PASS-1/PASS-2 programs already
 compiled for corpus eval), and the mined table is a tiny host-side
 [num_queries, count] int32 pair joined into batches by ``query_idx`` —
-batch shapes stay static, so no recompilation beyond the first mined epoch.
+batch shapes stay static, so no recompilation beyond the first mined epoch
+(the factories in eval/corpus.py cache their jitted programs by model
+signature, so per-refresh build_moment_index/make_retriever calls reuse
+the compiled executables).
 """
 
 from __future__ import annotations
