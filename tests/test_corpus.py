@@ -442,3 +442,31 @@ class TestShardedGtRanker:
         np.testing.assert_array_equal(got, expect)
         # the four duplicates occupy ranks 0..3 in row-id order
         np.testing.assert_array_equal(np.sort(got[0]), np.arange(4))
+
+
+class TestJitProgramCache:
+    """Factories must reuse compiled programs across calls with the same
+    model signature — hard-negative mining re-invokes them every refresh
+    (train/hard_negatives.py docstring's no-recompile claim)."""
+
+    def test_retriever_and_embed_programs_are_cached(self, trained):
+        from vfr_tpu.eval import corpus as C
+
+        cfg, model, params, ds = trained
+        C._JIT_CACHE.clear()
+        i1 = build_moment_index(params, model, ds)
+        r1 = make_retriever(model, i1, k=7, topk_method="exact")
+        n_after_first = len(C._JIT_CACHE)
+        # second refresh: same model -> same cached programs, no new entries
+        i2 = build_moment_index(params, model, ds)
+        r2 = make_retriever(model, i2, k=7, topk_method="exact")
+        assert len(C._JIT_CACHE) == n_after_first
+        b = next(ds.eval_batches(8))
+        toks, lens = jnp.asarray(b["tokens"]), jnp.asarray(b["lengths"])
+        np.testing.assert_array_equal(
+            np.asarray(r1(params, toks, lens)[1]),
+            np.asarray(r2(params, toks, lens)[1]),
+        )
+        # a semantically different model (different k here) adds an entry
+        make_retriever(model, i2, k=3, topk_method="exact")
+        assert len(C._JIT_CACHE) == n_after_first + 1
