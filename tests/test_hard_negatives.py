@@ -125,6 +125,122 @@ class TestMining:
         assert np.isfinite(metrics["mIoU"])
 
 
+class TestMinedRowEmbedding:
+    """The train step embeds ONLY the mined proposal of each mined video
+    (gathered pooling-matrix/TEF rows, [B*Hn, 1, .]) — parity vs the
+    embed-all-P-then-gather reference (VERDICT r2 #2)."""
+
+    def test_mined_row_embedding_parity(self):
+        from vfr_tpu.models.mcn import embed_moments
+
+        cfg, model, params, ds = _setup()
+        banks = {k: jnp.asarray(v) for k, v in ds.feature_banks().items()}
+        videos, props = mine_hard_negatives(params, model, ds, count=3)
+        hv = jnp.asarray(videos[:8].reshape(-1))
+        hp = jnp.asarray(props[:8].reshape(-1).astype(np.int32))
+        feats = {s: jnp.take(banks[s], hv, axis=0) for s in model.streams}
+
+        m_all = embed_moments(params, model, feats)          # [n, P, d]
+        ref = {
+            s: np.asarray(jnp.take_along_axis(
+                m_all[s], hp[:, None, None], axis=1)[:, 0])
+            for s in model.streams
+        }
+        pm_h = jnp.take(model.pool_matrix, hp, axis=0)[:, None, :]
+        tef_h = jnp.take(model.tef, hp, axis=0)[:, None, :]
+        m_new = embed_moments(params, model, feats, tef=tef_h,
+                              pool_matrix=pm_h)              # [n, 1, d]
+        for s in model.streams:
+            np.testing.assert_allclose(np.asarray(m_new[s][:, 0]), ref[s],
+                                       rtol=1e-6, atol=1e-6)
+
+    def test_mined_row_embedding_parity_charades(self):
+        """Same parity with the per-video duration-normalized TEF bank."""
+        from vfr_tpu.data.charades import CharadesSTADataset
+        from vfr_tpu.data.synthetic import make_charades_fixture
+        from vfr_tpu.models.mcn import embed_moments
+
+        fix = make_charades_fixture(num_videos=8, num_queries=24,
+                                    feature_dim=F, glove_dim=E, seed=1)
+        dcfg = DataConfig(dataset="charades_sta", feature_dim=F, glove_dim=E,
+                          use_flow=False)
+        ds = CharadesSTADataset(fix.annotations, fix.rgb, None, fix.vocab,
+                                dcfg)
+        cfg = ExperimentConfig(
+            name="t", data=dcfg,
+            model=ModelConfig(joint_dim=16, lstm_hidden=16),
+        )
+        model = build_model(cfg, dataset=ds)
+        params = init_model_params(jax.random.PRNGKey(0), model, fix.glove, F)
+        videos, props = mine_hard_negatives(params, model, ds, count=2)
+        hv = jnp.asarray(videos.reshape(-1))
+        hp = jnp.asarray(props.reshape(-1).astype(np.int32))
+        banks = {k: jnp.asarray(v) for k, v in ds.feature_banks().items()}
+        feats = {s: jnp.take(banks[s], hv, axis=0) for s in model.streams}
+        video_tef = jnp.asarray(ds.video_tef)
+
+        tef_all = jnp.take(video_tef, hv, axis=0)            # [n, P, 2]
+        m_all = embed_moments(params, model, feats, tef=tef_all)
+        ref = np.asarray(jnp.take_along_axis(
+            m_all["rgb"], hp[:, None, None], axis=1)[:, 0])
+
+        pm_h = jnp.take(model.pool_matrix, hp, axis=0)[:, None, :]
+        tef_h = jnp.take_along_axis(tef_all, hp[:, None, None], axis=1)
+        m_new = embed_moments(params, model, feats, tef=tef_h,
+                              pool_matrix=pm_h)
+        np.testing.assert_allclose(np.asarray(m_new["rgb"][:, 0]), ref,
+                                   rtol=1e-6, atol=1e-6)
+
+    def test_loss_parity_vs_all_p_reference(self):
+        """Full loss through the NEW step path == loss computed with the old
+        embed-all-P hard-negative gather."""
+        from vfr_tpu.models.mcn import (
+            embed_moments,
+            embed_queries_multi,
+        )
+        from vfr_tpu.train.loss import ranking_loss
+        from vfr_tpu.train.step import loss_from_batch
+
+        cfg, model, params, ds = _setup()
+        tcfg = dataclasses.replace(cfg.train, hard_negative_count=3)
+        banks = {k: jnp.asarray(v) for k, v in ds.feature_banks().items()}
+        videos, props = mine_hard_negatives(params, model, ds, count=3)
+        b = next(ds.train_batches(12, 1, seed=0, with_features=False))
+        b = dict(b)
+        b["hard_neg_video"] = videos[b["query_idx"]]
+        b["hard_neg_prop"] = props[b["query_idx"]]
+        batch = {k: jnp.asarray(v) for k, v in b.items()}
+
+        loss_new, _ = loss_from_batch(params, model, tcfg, batch,
+                                      feature_banks=banks)
+
+        # old-path reference: embed all P proposals of each mined video
+        hv, hp = batch["hard_neg_video"], batch["hard_neg_prop"]
+        B, Hn = hv.shape
+        hv_safe = jnp.maximum(hv, 0).reshape(-1)
+        hp_safe = jnp.maximum(hp, 0).reshape(-1).astype(jnp.int32)
+        feats_h = {s: jnp.take(banks[s], hv_safe, axis=0)
+                   for s in model.streams}
+        m_h = embed_moments(params, model, feats_h)
+        hard_m = {
+            s: jnp.take_along_axis(
+                m_h[s], hp_safe[:, None, None], axis=1)[:, 0].reshape(B, Hn, -1)
+            for s in model.streams
+        }
+        feats = {s: jnp.take(banks[s], batch["video_idx"], axis=0)
+                 for s in model.streams}
+        q = embed_queries_multi(params, model, batch["tokens"],
+                                batch["lengths"])
+        m = embed_moments(params, model, feats)
+        loss_old, _ = ranking_loss(
+            model, tcfg, q, m, target=batch["target"],
+            video_idx=batch["video_idx"], hard_moments=hard_m,
+            hard_valid=hv >= 0,
+        )
+        np.testing.assert_allclose(float(loss_new), float(loss_old),
+                                   rtol=1e-6)
+
+
 class TestHardLoss:
     def test_hard_term_changes_loss_and_masks_invalid(self):
         cfg, model, params, ds = _setup()

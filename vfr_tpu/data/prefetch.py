@@ -20,6 +20,19 @@ import numpy as np
 _SENTINEL = object()
 
 
+def _put(batch, sharding):
+    """``sharding``: None (default device), a Sharding / pytree of
+    shardings, or a CALLABLE ``batch -> pytree of shardings`` (the train
+    loop passes one so [K, B, ...] chunk leaves land batch-sharded over the
+    DP mesh while per-step RNG keys stay replicated — otherwise every chunk
+    lands on device 0 and jit re-shards it per dispatch, VERDICT r2 #5)."""
+    if sharding is None:
+        return jax.device_put(batch)
+    if callable(sharding):
+        sharding = sharding(batch)
+    return jax.device_put(batch, sharding)
+
+
 def device_put_prefetch(
     it: Iterator[Dict[str, np.ndarray]],
     depth: int = 2,
@@ -27,9 +40,8 @@ def device_put_prefetch(
 ) -> Iterator[Dict[str, jax.Array]]:
     """Keep ``depth`` batches resident on device ahead of the consumer."""
     buf = []
-    put = (lambda b: jax.device_put(b, sharding)) if sharding is not None else jax.device_put
     for batch in it:
-        buf.append(put(batch))
+        buf.append(_put(batch, sharding))
         if len(buf) > depth:
             yield buf.pop(0)
     yield from buf
@@ -72,12 +84,7 @@ class Prefetcher:
             for batch in batch_fn():
                 if self._stop.is_set():
                     return
-                dev = (
-                    jax.device_put(batch, self._sharding)
-                    if self._sharding is not None
-                    else jax.device_put(batch)
-                )
-                if not self._put(dev):
+                if not self._put(_put(batch, self._sharding)):
                     return
         except BaseException as e:  # propagate to consumer
             self._err = e

@@ -37,6 +37,7 @@ def mine_hard_negatives(
     count: int,
     batch_size: int = 256,
     rnn_kernel: str = "scan",
+    feature_banks=None,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Returns (videos [Nq, count], props [Nq, count]) int32, -1-padded.
 
@@ -51,23 +52,33 @@ def mine_hard_negatives(
     window by construction; the loss gather re-embeds them with the
     per-video TEF bank (train/step.py).
     """
-    from vfr_tpu.eval.corpus import build_moment_index, make_retriever
+    from vfr_tpu.eval.corpus import build_moment_index, make_stream_retriever
 
-    index = build_moment_index(params, model, dataset)
+    index = build_moment_index(params, model, dataset,
+                               with_fingerprint=False,
+                               feature_banks=feature_banks)
     P = dataset.num_proposals
     # retrieve enough rows to survive own-video filtering: the query's own
     # video contributes at most P rows to the top of the list
     k0 = min(count + P, index.num_rows)
-    retrieve = make_retriever(model, index, k0, topk_method="exact",
-                              rnn_kernel=rnn_kernel)
+    # ONE dispatch + ONE fetch for the whole training set: the stream
+    # retriever scans all query batches inside one compiled program
+    # (eval/corpus.py make_stream_retriever).  The r2 refresh paid a
+    # ~100 ms relay fetch per batch here — at 10k videos / 20k queries
+    # that was ~8 s of pure fetch latency per refresh.
+    retrieve_stream = make_stream_retriever(
+        model, index, k0, topk_method="exact", rnn_kernel=rnn_kernel)
+
+    batches = list(dataset.eval_batches(batch_size, with_features=False))
+    toks = np.stack([b["tokens"] for b in batches])      # [M, B, T]
+    lens = np.stack([b["lengths"] for b in batches])     # [M, B]
+    _, rows_all = retrieve_stream(params, jnp.asarray(toks),
+                                  jnp.asarray(lens))
+    rows_all = np.asarray(rows_all)                      # [M, B, k0]
 
     videos = np.full((dataset.num_queries, count), -1, np.int32)
     props = np.full((dataset.num_queries, count), -1, np.int32)
-    for batch in dataset.eval_batches(batch_size, with_features=False):
-        _, rows = retrieve(
-            params, jnp.asarray(batch["tokens"]), jnp.asarray(batch["lengths"])
-        )
-        rows = np.asarray(rows)                          # [B, k0]
+    for batch, rows in zip(batches, rows_all):
         vid = index.video_row[rows]                      # [B, k0]
         wrong = vid != batch["video_idx"][:, None]
         # stable argsort on ~wrong keeps retrieval order among wrong-video

@@ -51,27 +51,45 @@ def loss_from_batch(
     if hv is not None and feature_banks is not None:
         # mined hard negatives (train/hard_negatives.py): embed the mined
         # (video, proposal) pairs with CURRENT params from the device-
-        # resident banks; gradients flow into the negatives as usual
+        # resident banks; gradients flow into the negatives as usual.
+        #
+        # Only the MINED proposal of each video is embedded: its pooling-
+        # matrix row (and TEF row) are gathered so the pool-mix/TEF/bias
+        # epilogue runs on [B*Hn, 1, .] instead of all P proposals per
+        # mined video (VERDICT r2 #2 — at Charades P=64 the all-P variant
+        # did 64x the epilogue work to keep one row).  The clip-projection
+        # GEMM is P-independent either way (factored encoder, DESIGN 3).
+        # Parity vs the embed-all-P-then-gather path:
+        # tests/test_hard_negatives.py::test_mined_row_embedding_parity.
         hp = batch["hard_neg_prop"]
         B, Hn = hv.shape
         hv_safe = jnp.maximum(hv, 0).reshape(-1)
-        hp_safe = jnp.maximum(hp, 0).reshape(-1)
+        hp_safe = jnp.maximum(hp, 0).reshape(-1).astype(jnp.int32)
         feats_h = {
             s: jnp.take(feature_banks[s], hv_safe, axis=0)
             for s in model.streams
         }
-        # Charades window banks: per-video duration-normalized TEF rides
-        # the banks dict under "video_tef" (train/loop.py uploads it);
-        # DiDeMo uses the static proposal TEF (tef=None).
-        tef_h = (
-            jnp.take(feature_banks["video_tef"], hv_safe, axis=0)
-            if "video_tef" in feature_banks else None
-        )
-        m_h = embed_moments(params, model, feats_h, tef=tef_h)  # [B*Hn, P, d]
+        pm_h = jnp.take(model.pool_matrix, hp_safe, axis=0)[:, None, :]
+        tef_h = None
+        if model.cfg.use_tef:
+            if "video_tef" in feature_banks:
+                # Charades window banks: per-video duration-normalized TEF
+                # rides the banks dict under "video_tef" (train/loop.py
+                # uploads it) — gather the mined video's row, then the
+                # mined window's row
+                tef_bank = jnp.take(
+                    feature_banks["video_tef"], hv_safe, axis=0
+                )                                            # [B*Hn, P, 2]
+                tef_h = jnp.take_along_axis(
+                    tef_bank, hp_safe[:, None, None], axis=1
+                )                                            # [B*Hn, 1, 2]
+            else:
+                # DiDeMo: static proposal TEF table
+                tef_h = jnp.take(model.tef, hp_safe, axis=0)[:, None, :]
+        m_h = embed_moments(params, model, feats_h, tef=tef_h,
+                            pool_matrix=pm_h)                # [B*Hn, 1, d]
         hard_m = {
-            s: jnp.take_along_axis(
-                m_h[s], hp_safe[:, None, None].astype(jnp.int32), axis=1
-            )[:, 0].reshape(B, Hn, -1)
+            s: m_h[s][:, 0].reshape(B, Hn, -1)
             for s in model.streams
         }
         hard_valid = hv >= 0
