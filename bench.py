@@ -29,6 +29,10 @@ roofline for both a float32 and a bfloat16 moment index — the stage is
 bandwidth-bound (it streams the whole index per batch), so bytes, not
 FLOPs, set its speed of light.
 
+Secondary metric (detail.train_step_ms): the full didemo_fusion training
+step (fwd+bwd+adam, B=64, fused custom-VJP LSTM) — the BASELINE.json:5
+training path, same elision-proof harness (expect ~0.46 ms, DESIGN 14b).
+
 Prints ONE JSON line.
 """
 
@@ -140,6 +144,20 @@ def main():
                                        compute_dtype)
         return body
 
+    def score_direct_body(index):
+        # DIRECT score-stage measurement (VERDICT r2 #5): precomputed query
+        # embeddings as the loop input, perturbed by a dynamic roll (a
+        # gather XLA cannot hoist; the [S, Q, d] roll is ~128 KB against
+        # the ~108 MB index stream, <0.1% of stage traffic).  This removes
+        # the prefix-differencing error that made r2's roofline read >100%.
+        m_cat, msq_fused = prep_score_operands(index, compute_dtype)
+
+        def body(i, qs):
+            q = jnp.roll(qs, i.astype(jnp.int32), axis=1)
+            return fused_corpus_scores(q, m_cat, msq_fused, index.weights,
+                                       compute_dtype)
+        return body
+
     idx32 = make_index("float32")
     idx16 = make_index("bfloat16")
 
@@ -159,6 +177,10 @@ def main():
     sec_enc = device_seconds_per_iter(encode_body, base_tokens)
     sec_d32 = device_seconds_per_iter(dist_body(idx32), base_tokens)
     sec_d16 = device_seconds_per_iter(dist_body(idx16), base_tokens)
+    qs_pre = jnp.asarray(embed_queries_multi(params, model, base_tokens,
+                                             lengths, inference=True))
+    sec_score16 = device_seconds_per_iter(score_direct_body(idx16), qs_pre)
+    sec_score32 = device_seconds_per_iter(score_direct_body(idx32), qs_pre)
 
     sec_exact = None
     if os.environ.get("BENCH_EXACT") == "1" and cfg.eval.topk_method != "exact":
@@ -167,13 +189,56 @@ def main():
     elif cfg.eval.topk_method == "exact":
         sec_exact = sec16
 
+    # --- training-path throughput (VERDICT r2 #4): the full didemo_fusion
+    # fwd+bwd+adam step at the B=64 sweet spot (docs/DESIGN.md entry 14),
+    # same elision-proof harness.  Captures BASELINE.json:5's training side
+    # (fused recurrence + device-resident batch) in the driver artifact.
+    from vfr_tpu.train.optim import make_optimizer
+    from vfr_tpu.train.step import loss_from_batch
+
+    tcfg_full = get_preset("didemo_fusion")
+    tmodel = build_model(tcfg_full)
+    tparams = init_model_params(jax.random.PRNGKey(1), tmodel, glove, FEAT)
+    opt = make_optimizer(tcfg_full.train)
+    opt_state = opt.init(tparams)
+    B_train = 64
+    rngt = np.random.default_rng(7)
+    T = int(tcfg_full.data.max_query_len)
+    train_batch = {
+        "tokens": jnp.asarray(rngt.integers(1, VOCAB, size=(B_train, T)),
+                              jnp.int32),
+        "lengths": jnp.asarray(rngt.integers(4, T + 1, size=(B_train,)),
+                               jnp.int32),
+        "rgb": jnp.asarray(rngt.standard_normal((B_train, 6, FEAT)),
+                           jnp.float32),
+        "flow": jnp.asarray(rngt.standard_normal((B_train, 6, FEAT)),
+                            jnp.float32),
+        "target": jnp.asarray(rngt.integers(0, 21, size=(B_train,)),
+                              jnp.int32),
+        "video_idx": jnp.asarray(np.arange(B_train, dtype=np.int32)),
+    }
+
+    def train_body(i, tokens):
+        b = dict(train_batch)
+        b["tokens"] = 1 + (tokens + i.astype(jnp.int32)) % (VOCAB - 1)
+        (loss, aux), grads = jax.value_and_grad(
+            lambda p: loss_from_batch(p, tmodel, tcfg_full.train, b),
+            has_aux=True)(tparams)
+        updates, _ = opt.update(grads, opt_state, tparams)
+        return jnp.stack(
+            [jnp.sum(jnp.abs(l)) for l in jax.tree.leaves(updates)]) + loss
+
+    sec_train = device_seconds_per_iter(train_body, train_batch["tokens"])
+
     # serving config: bf16 index (recall-parity-tested vs f32 in
     # tests/test_corpus.py) — headline uses it
     sec = min(sec16, sec32)
     best_dtype = "bfloat16" if sec16 <= sec32 else "float32"
 
-    t_dist32 = max(sec_d32 - sec_enc, 1e-9)
-    t_dist16 = max(sec_d16 - sec_enc, 1e-9)
+    # score stage: DIRECT measurement (precomputed queries); the prefix
+    # difference is kept only as a cross-check in the detail
+    t_dist32 = sec_score32
+    t_dist16 = sec_score16
     t_topk = max(sec16 - sec_d16, 1e-9)
 
     # --- roofline accounting -------------------------------------------
@@ -216,6 +281,12 @@ def main():
             "score_f32_stored_index": round(1e3 * t_dist32, 4),
             "score_bf16_stored_index": round(1e3 * t_dist16, 4),
             "topk": round(1e3 * t_topk, 4),
+            # prefix-difference cross-check of the score stage (the r2
+            # decomposition method; ~10% systematic underestimate)
+            "score_prefix_diff_f32": round(1e3 * max(sec_d32 - sec_enc,
+                                                     1e-9), 4),
+            "score_prefix_diff_bf16": round(1e3 * max(sec_d16 - sec_enc,
+                                                      1e-9), 4),
         },
         "roofline": {
             "hbm_peak_gbps": HBM_GBPS / 1e9,
@@ -232,12 +303,14 @@ def main():
                 enc_flops / sec_enc / MXU_BF16_FLOPS
             ),
             "note": (
-                "score stage = ONE stream-concatenated matmul (DESIGN 12); "
-                "a bf16 index streams ~108 MB/batch, so the stage sits at "
-                "the HBM roofline (util ~100%; >100% means the prefix-"
-                "difference decomposition slightly underestimates the "
-                "isolated stage).  The f32-index variant converts to bf16 "
-                "once inside the stream program (loop-invariant), hence "
+                "score stage = ONE stream-concatenated matmul (DESIGN 12), "
+                "measured DIRECTLY (precomputed query embeddings, rolled "
+                "per iteration) — not by prefix differencing, which "
+                "systematically underestimated the stage by ~10% in r2 "
+                "(kept as score_prefix_diff_* for cross-check).  A bf16 "
+                "index streams ~108 MB/batch, so the stage sits at the HBM "
+                "roofline.  The f32-index variant converts to bf16 once "
+                "inside the stream program (loop-invariant), hence "
                 "near-identical stage times.  top-k reads scores fused "
                 "(no HBM roofline of its own)."
             ),
@@ -250,6 +323,10 @@ def main():
             if sec_exact is not None
             else {}
         ),
+        "train_step_ms": round(1e3 * sec_train, 4),
+        "train_queries_per_sec": round(B_train / sec_train, 1),
+        "train_config": "didemo_fusion fwd+bwd+adam, B=64, fused LSTM "
+                        "(DESIGN 14b expects ~0.46 ms)",
         "timing": "in-program loop, elision-proof (utils/timing.py)",
         "path": "eval/corpus.make_stream_retriever scan body (production throughput serving program)",
     }
