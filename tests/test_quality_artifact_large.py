@@ -1,0 +1,79 @@
+"""Regression gate on the SPEC-SCALE quality artifact (VERDICT r2 #1).
+
+scripts/quality_run_large.py trains the flagship didemo_fusion recipe
+(mining count 8 / refresh every epoch, docs/DESIGN.md 11b) on a
+10,000-video fixture and evaluates corpus retrieval against the full
+210,000-row moment index — the corpus scale BASELINE.json:10-11 names,
+not the 256-video fixture the small artifact uses.  Committed artifact
+(2026-08-17): corpus video R@1 0.0312 = 312x the 1e-4 chance floor,
+video R@5 0.0646, localization R@1@0.5 0.738, steady mining refresh
+median 2.27 s/epoch over 56k training queries.
+
+Thresholds sit at roughly half the committed numbers (and >=100x chance
+for the corpus metrics) so rerun jitter passes while a mining/loss/
+retrieval regression fails.  Corpus moment retrieval at this scale is a
+low-absolute-recall task family (CAL-era literature reports single-digit
+R@1 on real 10k-video corpora); the gate checks multiples of chance.
+"""
+
+import json
+import os
+
+import numpy as np
+
+ART = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                   "artifacts", "quality_large", "final_metrics.json")
+
+
+def _load():
+    with open(ART) as f:
+        return json.load(f)
+
+
+def test_artifact_is_at_spec_scale():
+    out = _load()
+    assert out["preset"] == "didemo_fusion"
+    assert out["fixture"]["num_videos"] >= 10_000
+    assert out["corpus"]["corpus_num_rows"] >= 200_000
+    assert out["corpus"]["num_queries"] >= 10_000
+    assert out["fixture"]["noise"] >= 0.25
+
+
+def test_corpus_retrieval_far_above_chance_at_scale():
+    out = _load()
+    m = out["corpus"]
+    chance_v1 = out["chance_video_R@1"]               # 1e-4 at 10k videos
+    assert m["corpus_video_R@1"] >= max(100 * chance_v1, 0.015), (
+        m, chance_v1)
+    assert m["corpus_video_R@5"] >= 0.03, m
+    assert m["corpus_R@1_tiou0.5"] >= 0.012, m
+    # internal consistency
+    assert m["corpus_video_R@5"] >= m["corpus_video_R@1"]
+    assert m["corpus_R@5_tiou0.5"] <= m["corpus_video_R@5"]
+
+
+def test_localization_in_healthy_band_at_scale():
+    m = _load()["eval_threshold"]
+    assert m["R@1_tiou0.5"] >= 0.55, m                # committed 0.738
+    assert m["R@5_tiou0.5"] >= 0.80, m                # committed 0.941
+    assert m["R@5_tiou0.5"] >= m["R@1_tiou0.5"]
+    assert 0.45 <= m["mIoU"] <= 1.0, m
+
+
+def test_official_protocol_consistent_at_scale():
+    m = _load()["eval_official"]
+    assert m["R@5_official"] >= m["R@1_official"] >= 0.25, m
+    assert np.isfinite(m["mIoU_official"])
+
+
+def test_mining_refresh_cost_recorded_and_cheap():
+    """The refresh-cost question VERDICT r2 #1 raised: per-epoch mining at
+    spec scale must be recorded in the artifact AND stay a small fraction
+    of the epoch (DESIGN entry 15: device-resident banks + one-dispatch
+    retrieval took it from 18.5 s to ~2.3 s at 56k train queries)."""
+    out = _load()
+    mine = out["mining"]
+    assert mine["count"] >= 4 and mine["refresh_epochs"] == 1
+    assert mine["num_refreshes"] >= 10
+    assert mine["refresh_wall_s_median_steady"] is not None
+    assert mine["refresh_wall_s_median_steady"] < 10.0, mine
