@@ -38,14 +38,17 @@ N_ISOLATED, N_BURST = 50, 200
 
 
 def make_index(weights):
+    # Built device-side with no host round-trip: a D2H fetch of the whole
+    # [S, V*P, d] tensor is exactly the relay cost the serving stack was
+    # rebuilt to avoid, and is where a flaky relay can hang a probe.
     rng = np.random.default_rng(0)
-    flat = np.asarray(jnp.asarray(
-        rng.standard_normal((S, V * P, d)).astype(np.float32),
-        jnp.bfloat16).astype(jnp.float32))
-    m_sq = (flat.astype(np.float64) ** 2).sum(-1).astype(np.float32)
+    m16 = jnp.asarray(rng.standard_normal((S, V * P, d)).astype(np.float32),
+                      jnp.bfloat16)
+    flat = m16.astype(jnp.float32)
+    m_sq = jnp.sum(flat * flat, axis=-1)
     return MomentIndex(
-        m=jnp.asarray(flat, jnp.bfloat16),
-        m_sq=jnp.asarray(m_sq),
+        m=m16,
+        m_sq=m_sq,
         video_row=np.repeat(np.arange(V, dtype=np.int32), P),
         prop_idx=np.tile(np.arange(P, dtype=np.int32), V),
         spans_sec=np.tile(
