@@ -175,8 +175,11 @@ def main():
     sec16 = device_seconds_per_iter(full_body(retr16), base_tokens)
     sec32 = device_seconds_per_iter(full_body(retr32), base_tokens)
     sec_enc = device_seconds_per_iter(encode_body, base_tokens)
-    sec_d32 = device_seconds_per_iter(dist_body(idx32), base_tokens)
     sec_d16 = device_seconds_per_iter(dist_body(idx16), base_tokens)
+    # f32-stored-index prefix variant skipped: identical program after the
+    # loop-invariant carrier conversion (measured equal within noise in
+    # r2/r3 artifacts) — one less compile+measure keeps bench wall time down
+    sec_d32 = sec_d16
     qs_pre = jnp.asarray(embed_queries_multi(params, model, base_tokens,
                                              lengths, inference=True))
     sec_score16 = device_seconds_per_iter(score_direct_body(idx16), qs_pre)
