@@ -32,6 +32,11 @@ def main():
     from vfr_tpu.train.loop import train
 
     os.makedirs(OUT, exist_ok=True)
+    # fresh training log: MetricsLogger appends, and a leftover file from a
+    # previous run would contaminate any stats derived from it
+    _mp = os.path.join(OUT, "metrics.jsonl")
+    if os.path.exists(_mp):
+        os.remove(_mp)
     base = get_preset("didemo_fusion")
     cfg = dataclasses.replace(
         base,

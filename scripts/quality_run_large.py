@@ -55,6 +55,11 @@ def main():
     from vfr_tpu.train.loop import train
 
     os.makedirs(OUT, exist_ok=True)
+    # fresh training log: MetricsLogger appends, and a leftover file from a
+    # previous run would contaminate any stats derived from it
+    _mp = os.path.join(OUT, "metrics.jsonl")
+    if os.path.exists(_mp):
+        os.remove(_mp)
     base = get_preset("didemo_fusion")
     cfg = dataclasses.replace(
         base,
@@ -134,10 +139,8 @@ def main():
 
     # mining refresh wall costs (VERDICT r2 #1: 'what a refresh costs at
     # 10k videos is unmeasured') straight from the training log
-    refreshes = [
-        json.loads(l) for l in open(cfg.train.metrics_path)
-        if json.loads(l)["tag"] == "mine"
-    ]
+    records = [json.loads(l) for l in open(cfg.train.metrics_path)]
+    refreshes = [r for r in records if r["tag"] == "mine"]
     refresh_s = [r["refresh_s"] for r in refreshes]
 
     out = {

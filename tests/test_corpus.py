@@ -560,3 +560,37 @@ class TestServeValidation:
         out = serve_queries(other, model, ds, vocab, ["w0001"], k=3,
                             index=index)
         assert len(out) == 1
+
+    def test_corpus_identity_mismatch_detected(self, trained):
+        """The fingerprint covers the ordered video-id list: serving an
+        index against a reordered (or id-substituted) corpus fails loudly
+        even when model/params/count all match — row indices are
+        meaningless under a different video table."""
+        from vfr_tpu.eval.corpus import validate_index
+
+        cfg, model, params, ds = trained
+        index = build_moment_index(params, model, ds)
+        validate_index(index, params, model, ds)          # genuine: ok
+
+        class _Reordered:
+            video_ids = list(ds.video_ids)[::-1]
+
+        with pytest.raises(ValueError, match="videos"):
+            validate_index(index, params, model, _Reordered())
+
+    def test_fingerprint_without_videos_key_still_validates(self, trained):
+        """Fingerprints written before the `videos` field existed keep
+        validating on the remaining keys (forward compat for old .npz)."""
+        import dataclasses as _dc
+
+        from vfr_tpu.eval.corpus import validate_index
+
+        cfg, model, params, ds = trained
+        index = build_moment_index(params, model, ds)
+        fp = dict(index.fingerprint)
+        fp.pop("videos")
+        old = _dc.replace(index, fingerprint=fp)
+        validate_index(old, params, model, ds)            # ok without it
+        other = jax.tree.map(lambda x: x + 1e-3, params)
+        with pytest.raises(ValueError, match="fingerprint mismatch"):
+            validate_index(old, other, model, ds)

@@ -386,3 +386,52 @@ class TestServeFollowPipeline:
         recs = list(serve_follow(params, model, ds, vocab, queries, k=2,
                                  micro_batch=2, pipeline_depth=1))
         assert [r["query"] for r in recs] == queries
+
+
+    def test_input_iterator_error_propagates_after_served_results(self,
+                                                                  setup):
+        """An exception from the input iterator must reach the caller, not
+        die in the reader thread as a silent clean EOF (the daemon would
+        otherwise exit rc=0 having dropped the rest of the stream)."""
+        from vfr_tpu.eval.corpus import serve_follow
+
+        model, params, ds, vocab = setup
+
+        def broken_lines():
+            yield "w0001 w0002"
+            raise UnicodeDecodeError("utf-8", b"\xff", 0, 1, "bad byte")
+
+        recs = []
+        with pytest.raises(UnicodeDecodeError):
+            for rec in serve_follow(params, model, ds, vocab,
+                                    broken_lines(), k=2, micro_batch=4):
+                recs.append(rec)
+        # the request before the failure was still served
+        assert [r["query"] for r in recs] == ["w0001 w0002"]
+
+    def test_reader_lookahead_is_bounded(self, setup):
+        """The reader thread must not slurp an arbitrarily long input into
+        memory: with the consumer holding the first result, the source may
+        be drained by at most the bounded lookahead, not fully."""
+        import itertools
+        import time
+
+        from vfr_tpu.eval.corpus import serve_follow
+
+        model, params, ds, vocab = setup
+        pulled = [0]
+
+        def endless():
+            for i in itertools.count():
+                pulled[0] = i + 1
+                yield f"w{i % 20:04d}"
+
+        gen = serve_follow(params, model, ds, vocab, endless(), k=2,
+                           micro_batch=4)
+        next(gen)                      # serve one block, then stall
+        time.sleep(0.5)                # give the reader time to (over)run
+        # bound = queue capacity (4*mb+2) + up to two in-flight packs the
+        # pipelined loop may have consumed + the one put the reader is
+        # blocked on — NOT thousands of lines
+        assert pulled[0] <= (4 * 4 + 2) + 2 * 4 + 1, pulled[0]
+        gen.close()

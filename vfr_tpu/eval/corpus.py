@@ -122,24 +122,33 @@ def _query_model_key(model: Model):
 
 def index_fingerprint(params, model: Model, dataset, num_videos: int) -> Dict:
     """Provenance record stored inside every built index: the model's
-    semantic signature, a hash of the exact parameter values, and the corpus
-    shape.  ``validate_index`` checks a loaded index against the serving
-    process's (params, model, dataset)."""
+    semantic signature, a hash of the exact parameter values, and the
+    corpus identity (count AND the ordered video-id list — row indices in
+    the index are meaningless against a reordered or extended corpus, not
+    just a shrunken one).  ``validate_index`` checks a loaded index against
+    the serving process's (params, model, dataset)."""
     import hashlib
 
     h = hashlib.sha1()
     h.update(repr(_model_key(model)).encode())
     model_hash = h.hexdigest()
     hp = hashlib.sha1()
-    for leaf in jax.tree.leaves(params):
+    # ONE bulk transfer: per-leaf np.asarray would pay a ~100 ms relay
+    # round-trip per leaf on this runtime (DESIGN 8)
+    for leaf in jax.device_get(jax.tree.leaves(params)):
         a = np.asarray(leaf)
         hp.update(str(a.dtype).encode())
         hp.update(str(a.shape).encode())
         hp.update(a.tobytes())
+    hv = hashlib.sha1()
+    for vid in list(dataset.video_ids)[:num_videos]:
+        hv.update(str(vid).encode())
+        hv.update(b"\0")
     return {
         "model": model_hash,
         "params": hp.hexdigest(),
         "num_videos": int(num_videos),
+        "videos": hv.hexdigest(),
         "dataset": "charades" if hasattr(dataset, "windows") else "didemo",
     }
 
@@ -147,19 +156,24 @@ def index_fingerprint(params, model: Model, dataset, num_videos: int) -> Dict:
 def validate_index(index: "MomentIndex", params, model: Model, dataset):
     """Fail loudly when a (possibly loaded) index doesn't match the serving
     process's checkpoint/model/corpus.  No-op for indexes without a
-    fingerprint (pre-fingerprint .npz files)."""
+    fingerprint (pre-fingerprint .npz files); the `videos` check is
+    skipped for fingerprints written before it existed."""
     fp = index.fingerprint
     if fp is None:
         return
     want = index_fingerprint(params, model, dataset, fp.get("num_videos", 0))
-    for key in ("model", "params", "dataset"):
+    checks = ["model", "params", "dataset"]
+    if "videos" in fp:
+        checks.append("videos")
+    for key in checks:
         if fp.get(key) != want[key]:
+            what = {"params": "checkpoint",
+                    "videos": "corpus (video ids/order)"}.get(key, key)
             raise ValueError(
                 f"moment index fingerprint mismatch on {key!r}: the index "
-                f"was built from a different "
-                f"{'checkpoint' if key == 'params' else key} than this "
-                "serving process loaded (rebuild with `cli index` or pass "
-                "the matching --checkpoint-dir)"
+                f"was built from a different {what} than this serving "
+                "process loaded (rebuild with `cli index` or pass the "
+                "matching --checkpoint-dir)"
             )
     n_vid = len(dataset.video_ids)
     if fp.get("num_videos", 0) > n_vid:
@@ -664,9 +678,12 @@ def serve_queries(
         return []
     owns_index = index is None
     if owns_index:
+        # transient in-process index: skip the provenance hash (it is
+        # never persisted; the hash fetches the params tree to host)
         index = build_moment_index(params, model, dataset,
                                    num_videos=num_videos,
-                                   index_dtype=index_dtype)
+                                   index_dtype=index_dtype,
+                                   with_fingerprint=False)
     else:
         # loaded/caller-owned index: fail loudly on checkpoint/corpus
         # mismatch instead of silently returning wrong moments (ADVICE r2)
@@ -773,7 +790,8 @@ def serve_follow(
     if owns_index:
         index = build_moment_index(params, model, dataset,
                                    num_videos=num_videos,
-                                   index_dtype=index_dtype)
+                                   index_dtype=index_dtype,
+                                   with_fingerprint=False)
     else:
         validate_index(index, params, model, dataset)
     retrieve = make_retriever(model, index, min(k, index.num_rows),
@@ -788,12 +806,21 @@ def serve_follow(
     video_ids = dataset.video_ids
 
     _DONE = object()
-    q: "_queue.Queue" = _queue.Queue()
+    # Bounded: the reader must not slurp an arbitrarily long input (a
+    # multi-GB --queries file) into memory ahead of processing — a few
+    # packs of lookahead preserves the aggregation behavior with flat
+    # memory, and stops consuming the source when the consumer abandons
+    # the generator (the daemon reader thread then parks on a full
+    # queue and dies with the process).
+    q: "_queue.Queue" = _queue.Queue(maxsize=4 * max(micro_batch, 1) + 2)
+    reader_err = []
 
     def _reader():
         try:
             for text in lines:
                 q.put(text)
+        except BaseException as e:   # propagate to the consumer, not a
+            reader_err.append(e)     # daemon-thread stderr traceback
         finally:
             q.put(_DONE)
 
@@ -856,6 +883,10 @@ def serve_follow(
                 yield from _fetch(inflight.popleft())
     while inflight:
         yield from _fetch(inflight.popleft())
+    if reader_err:
+        # the input iterator raised mid-stream: results up to the failure
+        # were served; re-raise instead of masking it as a clean EOF
+        raise reader_err[0]
 
 
 def make_gt_ranker(model: Model, index: MomentIndex,
@@ -931,6 +962,7 @@ def corpus_evaluate(
     index = build_moment_index(
         params, model, dataset, num_videos=ecfg.corpus_num_videos,
         index_dtype=getattr(ecfg, "index_dtype", "float32"),
+        with_fingerprint=False,    # transient: never persisted
     )
     rnn_kernel = getattr(ecfg, "rnn_kernel", "scan")
     ks = tuple(ecfg.recall_ks)
