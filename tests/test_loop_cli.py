@@ -181,6 +181,51 @@ def test_cli_train_and_eval(tmp_path, capsys, monkeypatch):
     assert "R@1" in capsys.readouterr().out
 
 
+def test_eval_cadence_and_setup_record(tmp_path):
+    """eval_every_epochs thins the val-metric cadence (the LAST epoch
+    always evaluates — final_metrics must exist) and the loop logs a
+    one-time "setup" record with the bank-upload anatomy (DESIGN 18)."""
+    from vfr_tpu.train.loop import train
+
+    cfg = _tiny_cfg(tmp_path, epochs=4)
+    cfg = dataclasses.replace(
+        cfg, train=dataclasses.replace(cfg.train, eval_every_epochs=3))
+    _, metrics = train(cfg)
+    assert metrics["R@1_tiou0.5"] >= 0.0          # final eval ran
+    mpath = os.path.join(cfg.train.checkpoint_dir, "metrics.jsonl")
+    recs = [json.loads(l) for l in open(mpath)]
+    evals = [r for r in recs if r["tag"] == "eval"]
+    # epochs are 0-indexed: (epoch+1) % 3 == 0 -> epoch 2, plus the
+    # mandatory last epoch 3
+    assert len(evals) == 2, [r["step"] for r in evals]
+    setup = [r for r in recs if r["tag"] == "setup"]
+    assert len(setup) == 1
+    assert setup[0]["bank_mb"] > 0
+    assert setup[0]["bank_upload_s"] >= 0.0
+    assert setup[0]["init_s"] >= 0.0
+
+
+def test_cli_train_eval_every_flag(tmp_path, capsys):
+    """--eval-every / --steps-per-call reach TrainConfig via the CLI."""
+    from vfr_tpu.cli import main
+
+    rc = main([
+        "train", "--preset", "didemo_rgb",
+        "--data-dir", str(tmp_path / "nodata"),
+        "--checkpoint-dir", str(tmp_path / "ck"),
+        "--batch-size", "12", "--epochs", "3",
+        "--eval-every", "2", "--steps-per-call", "3",
+    ])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "R@1" in out
+    mpath = str(tmp_path / "ck" / "metrics.jsonl")
+    evals = [json.loads(l) for l in open(mpath)
+             if json.loads(l)["tag"] == "eval"]
+    # epochs 0-indexed: (epoch+1) % 2 == 0 -> epoch 1, plus last epoch 2
+    assert len(evals) == 2
+
+
 def test_cli_corpus(tmp_path, capsys):
     from vfr_tpu.cli import main
 

@@ -1,0 +1,86 @@
+"""Regression gate on the SPEC-SCALE Charades-STA quality artifact
+(the DiDeMo twin is test_quality_artifact_large.py; the small Charades
+gate is test_quality_artifact_charades.py).
+
+scripts/quality_run_charades_large.py trains the charades_sta preset with
+the validated mining recipe (count 8 / refresh 1) on a 2,000-video fixture
+— 1.5x the real Charades-STA test corpus (~1,334 videos) — and evaluates
+corpus retrieval against the full 128,000-row window-bank index.
+
+Committed artifact (TPU run, 2026-08-17, noise 0.25, 2 planted spans per
+video, 20 epochs): localization R@1@0.5 0.982 / R@1@0.7 0.795, mIoU
+0.780; corpus video R@1 0.6045 / R@5 0.806 over 128,000 rows (chance
+video R@1 = 5e-4, so 1,209x chance); steady mining refresh median
+0.80 s/epoch over 14k training queries.
+
+Thresholds sit at roughly half the committed numbers (and >=100x chance
+for the corpus metrics) so rerun jitter passes while a window-bank /
+masking / mining / retrieval regression fails.
+"""
+
+import json
+import os
+
+ART = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                   "artifacts", "quality_charades_large",
+                   "final_metrics.json")
+
+
+def _load():
+    with open(ART) as f:
+        return json.load(f)
+
+
+def test_artifact_is_at_spec_scale():
+    out = _load()
+    assert out["preset"] == "charades_sta"
+    assert out["fixture"]["num_videos"] >= 2_000
+    assert out["corpus"]["corpus_num_rows"] >= 100_000
+    assert out["corpus"]["num_queries"] >= 2_000
+    assert out["fixture"]["noise"] >= 0.25
+    assert out["fixture"]["moments_per_video"] >= 2
+    assert out["window_bank"]["max_windows"] >= 32
+
+
+def test_corpus_retrieval_far_above_chance_at_scale():
+    out = _load()
+    m = out["corpus"]
+    chance_v1 = out["chance_video_R@1"]               # 5e-4 at 2k videos
+    assert m["corpus_video_R@1"] >= max(100 * chance_v1, 0.30), (
+        m, chance_v1)
+    assert m["corpus_video_R@5"] >= 0.45, m
+    assert m["corpus_R@1_tiou0.5"] >= 0.30, m
+    # internal consistency
+    assert m["corpus_video_R@5"] >= m["corpus_video_R@1"]
+    assert m["corpus_R@5_tiou0.5"] <= m["corpus_video_R@5"]
+    assert m["corpus_R@1_tiou0.5"] <= m["corpus_video_R@1"]
+
+
+def test_localization_in_healthy_band_at_scale():
+    m = _load()["eval_threshold"]
+    assert m["R@1_tiou0.5"] >= 0.70, m                # committed 0.982
+    assert m["R@1_tiou0.7"] >= 0.55, m                # committed 0.795
+    assert m["R@5_tiou0.5"] >= m["R@1_tiou0.5"]
+    assert m["R@1_tiou0.5"] >= m["R@1_tiou0.7"]
+    assert 0.5 <= m["mIoU"] <= 1.0, m
+
+
+def test_official_protocol_scope_is_stamped():
+    # the deliberate asymmetry vs the DiDeMo artifacts must be
+    # self-documenting (VERDICT r2 weak #7)
+    out = _load()
+    assert isinstance(out["eval_official"], str)
+    assert "DiDeMo-specific" in out["eval_official"]
+
+
+def test_mining_refresh_cost_recorded_and_cheap():
+    """Window-bank mining at spec scale must be recorded in the artifact
+    AND stay a small fraction of the epoch (committed: first refresh
+    9.6 s incl. compile, steady median 0.80 s over 14k train queries
+    x 128k-row index)."""
+    out = _load()
+    mine = out["mining"]
+    assert mine["count"] >= 4 and mine["refresh_epochs"] == 1
+    assert mine["num_refreshes"] >= 10
+    assert mine["refresh_wall_s_median_steady"] is not None
+    assert mine["refresh_wall_s_median_steady"] < 5.0, mine

@@ -52,6 +52,13 @@ def build_parser() -> argparse.ArgumentParser:
                         "--hard-negative-refresh epochs)")
     t.add_argument("--hard-negative-refresh", type=int, default=None,
                    help="epochs between hard-negative re-mining passes")
+    t.add_argument("--eval-every", type=int, default=None,
+                   help="epochs between val-metric evals (last epoch always "
+                        "evaluates; at spec scale per-epoch eval is ~29%% "
+                        "of train wall — DESIGN 18)")
+    t.add_argument("--steps-per-call", type=int, default=None,
+                   help="optimizer steps fused per dispatched program "
+                        "(0 = log_every_steps); one metrics fetch per call")
 
     e = sub.add_parser("eval", help="per-video localization eval")
     common(e)
@@ -141,6 +148,10 @@ def apply_overrides(cfg, args):
         tkw["hard_negative_count"] = args.hard_negatives
     if getattr(args, "hard_negative_refresh", None) is not None:
         tkw["hard_negative_refresh_epochs"] = args.hard_negative_refresh
+    if getattr(args, "eval_every", None) is not None:
+        tkw["eval_every_epochs"] = args.eval_every
+    if getattr(args, "steps_per_call", None) is not None:
+        tkw["steps_per_call"] = args.steps_per_call
     if tkw:
         train = dataclasses.replace(train, **tkw)
     ekw = {}

@@ -123,6 +123,11 @@ class TrainConfig:
     seed: int = 42
     checkpoint_dir: str = "checkpoints"
     checkpoint_every_epochs: int = 1
+    eval_every_epochs: int = 1          # val-metrics cadence; the LAST epoch
+                                        # always evaluates (final_metrics).
+                                        # At spec scale per-epoch eval is
+                                        # ~29% of total wall (DESIGN 18) —
+                                        # raise for long runs.
     keep_checkpoints: int = 3
     log_every_steps: int = 20
     steps_per_call: int = 0             # optimizer steps fused per dispatch

@@ -48,6 +48,7 @@ def train(
         path = tcfg.metrics_path or f"{tcfg.checkpoint_dir}/metrics.jsonl"
         logger = MetricsLogger(path)
 
+    t_setup = time.perf_counter()
     params = init_model_params(
         jax.random.PRNGKey(tcfg.seed), model, bundle.glove, bundle.feature_dim
     )
@@ -75,12 +76,27 @@ def train(
         # Charades: per-video TEF bank so mined hard negatives re-embed
         # with the right duration normalization (train/step.py)
         bank_arrays["video_tef"] = ds.video_tef
+    val_bank_arrays = dict(val_ds.feature_banks())
+    t_banks = time.perf_counter()
     train_banks = jax.device_put(
         {k: jnp.asarray(v) for k, v in bank_arrays.items()}
     )
     val_banks = jax.device_put(
-        {k: jnp.asarray(v) for k, v in val_ds.feature_banks().items()}
+        {k: jnp.asarray(v) for k, v in val_bank_arrays.items()}
     )
+    # block so the logged bank-upload time is the real H2D wall (device_put
+    # is async); at spec scale the banks are ~GBs and this is a visible
+    # chunk of startup (docs/DESIGN.md entry 18)
+    jax.block_until_ready((train_banks, val_banks))
+    bank_mb = sum(
+        int(np.asarray(v).nbytes)
+        for d in (bank_arrays, val_bank_arrays) for v in d.values()
+    ) / 1e6
+    logger.log("setup", start_step, {
+        "init_s": round(t_banks - t_setup, 3),
+        "bank_upload_s": round(time.perf_counter() - t_banks, 3),
+        "bank_mb": round(bank_mb, 3),
+    })
     # K optimizer steps fuse into one dispatched program (lax.scan) —
     # program-launch overhead dominates wall time otherwise (train/step.py
     # make_train_multi_step).  Logging/fetch cadence = one chunk.
@@ -211,10 +227,12 @@ def train(
         finally:
             chunks.close()   # unblock the producer if we exit early
 
-        metrics = evaluate(params, model, val_ds, cfg.eval,
-                           feature_banks=val_banks)
-        logger.log("eval", step, metrics)
-        final_metrics = metrics
+        if ((epoch + 1) % max(tcfg.eval_every_epochs, 1) == 0
+                or epoch == tcfg.num_epochs - 1):
+            metrics = evaluate(params, model, val_ds, cfg.eval,
+                               feature_banks=val_banks)
+            logger.log("eval", step, metrics)
+            final_metrics = metrics
         if (epoch + 1) % tcfg.checkpoint_every_epochs == 0 or epoch == tcfg.num_epochs - 1:
             save_checkpoint(
                 tcfg.checkpoint_dir, step, params, opt_state, cfg,
