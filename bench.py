@@ -48,6 +48,10 @@ MXU_F32_FLOPS = 49e12     # effective f32 matmul peak (bf16 passes w/ f32 accum)
 
 
 def main():
+    from vfr_tpu.utils.compile_cache import enable_compile_cache
+
+    enable_compile_cache()   # warm-start: ~9 s vs ~160 s cold (DESIGN 19)
+
     import jax
     import jax.numpy as jnp
 

@@ -25,6 +25,9 @@ OUT = os.path.join(ROOT, "artifacts", "quality")
 
 
 def main():
+    from vfr_tpu.utils.compile_cache import enable_compile_cache
+
+    enable_compile_cache()   # warm-start compile reuse (docs/DESIGN.md 19)
     from vfr_tpu.config import get_preset
     from vfr_tpu.data.loaders import load_datasets
     from vfr_tpu.eval.corpus import corpus_evaluate

@@ -50,6 +50,9 @@ NUM_EPOCHS = int(os.environ.get("QRCL_NUM_EPOCHS", 20))
 
 
 def main():
+    from vfr_tpu.utils.compile_cache import enable_compile_cache
+
+    enable_compile_cache()   # warm-start compile reuse (docs/DESIGN.md 19)
     if os.environ.get("QRCL_FORCE_CPU"):
         # smoke-test path: the axon sitecustomize pins jax_platforms to
         # 'axon,cpu', so the env var alone does NOT keep us off the TPU

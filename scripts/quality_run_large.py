@@ -46,6 +46,9 @@ VOCAB_WORDS = 2_000
 
 
 def main():
+    from vfr_tpu.utils.compile_cache import enable_compile_cache
+
+    enable_compile_cache()   # warm-start compile reuse (docs/DESIGN.md 19)
     from vfr_tpu.config import get_preset
     from vfr_tpu.data.didemo import DidemoDataset
     from vfr_tpu.data.loaders import DataBundle

@@ -175,6 +175,12 @@ def apply_overrides(cfg, args):
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
 
+    # one process per CLI invocation: without the persistent cache every
+    # run re-pays 40-120 s of remote compile per executable (DESIGN 19)
+    from vfr_tpu.utils.compile_cache import enable_compile_cache
+
+    enable_compile_cache()
+
     if args.cmd == "pack":
         import numpy as np
 

@@ -295,7 +295,11 @@ def build_moment_index(
         video_row=video_row,
         prop_idx=prop_idx,
         spans_sec=spans_sec.astype(np.float32),
-        weights=jnp.asarray(model.cfg.stream_weights, jnp.float32),
+        # numpy, NOT a device array: retriever programs close over the
+        # weights, and device-array closure constants make lowering fetch
+        # them device->host (seconds-to-minutes per constant on this
+        # relay — see models/build.py)
+        weights=np.asarray(model.cfg.stream_weights, np.float32),
         fingerprint=(index_fingerprint(params, model, dataset, V)
                      if with_fingerprint else None),
     )
@@ -355,7 +359,7 @@ def load_index(path: str) -> MomentIndex:
             video_row=z["video_row"],
             prop_idx=z["prop_idx"],
             spans_sec=z["spans_sec"],
-            weights=jnp.asarray(z["weights"]),
+            weights=np.asarray(z["weights"], np.float32),
             fingerprint=fingerprint,
         )
 

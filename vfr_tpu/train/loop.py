@@ -84,9 +84,11 @@ def train(
     val_banks = jax.device_put(
         {k: jnp.asarray(v) for k, v in val_bank_arrays.items()}
     )
-    # block so the logged bank-upload time is the real H2D wall (device_put
-    # is async); at spec scale the banks are ~GBs and this is a visible
-    # chunk of startup (docs/DESIGN.md entry 18)
+    # block_until_ready so bank_upload_s captures the synchronous share of
+    # the H2D enqueue.  NOTE: on the axon relay block_until_ready does NOT
+    # force execution (DESIGN 19) — the deferred upload+compile backlog
+    # drains into the FIRST chunk's step_ms, so read setup numbers as
+    # host-side cost, not device truth.
     jax.block_until_ready((train_banks, val_banks))
     bank_mb = sum(
         int(np.asarray(v).nbytes)

@@ -225,4 +225,7 @@ def make_train_multi_step(
         rngs = chunk.pop("dropout_rng", None)   # [K, 2] or None, replicated
         return jitted(params, opt_state, chunk, rngs, banks)
 
+    # introspection handles (AOT lower/compile, startup probes)
+    multi_step.jitted = jitted
+    multi_step.banks = banks
     return multi_step
