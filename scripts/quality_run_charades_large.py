@@ -141,15 +141,31 @@ def main():
           f"val {val_ds.num_queries} queries, built in {t_fixture:.0f}s",
           file=sys.stderr, flush=True)
 
+    # Banks uploaded ONCE and shared by the train loop AND the post-train
+    # corpus eval (DESIGN 18/20).  Charades' train banks carry video_tef so
+    # mined negatives re-embed with the right duration normalization.
+    from vfr_tpu.data.features import banks_to_device
+
+    train_bank_arrays = dict(train_ds.feature_banks())
+    train_bank_arrays["video_tef"] = train_ds.video_tef
+    val_bank_arrays = dict(val_ds.feature_banks())
+    val_bank_arrays["video_tef"] = val_ds.video_tef
+    device_banks = {
+        "train": banks_to_device(train_bank_arrays, cfg.data.bank_dtype),
+        "val": banks_to_device(val_bank_arrays, cfg.data.bank_dtype),
+    }
+
     t0 = time.perf_counter()
-    params, final_eval = train(cfg, bundle=bundle)
+    params, final_eval = train(cfg, bundle=bundle,
+                               device_banks=device_banks)
     t_train = time.perf_counter() - t0
 
     from vfr_tpu.models.build import build_model
     model = build_model(cfg, dataset=bundle.train)
 
     t0 = time.perf_counter()
-    corpus = corpus_evaluate(params, model, bundle.val, cfg.eval)
+    corpus = corpus_evaluate(params, model, bundle.val, cfg.eval,
+                             feature_banks=device_banks["val"])
     t_corpus = time.perf_counter() - t0
 
     # per-epoch mining refresh wall costs at this scale, from the log

@@ -27,8 +27,13 @@ Fixture/split design (differs from scripts/quality_run.py where it must):
   scale); the gate checks >> chance, not parity with the small fixture.
 
 Run on the TPU (~10-15 min):  python scripts/quality_run_large.py
+
+Flags: --bank-dtype {float32,bfloat16} stores the device feature banks
+quantized (halved upload/HBM, DESIGN 20); --out redirects the artifact
+directory (validation runs must not clobber the committed artifact).
 """
 
+import argparse
 import dataclasses
 import json
 import os
@@ -38,7 +43,6 @@ from collections import defaultdict
 
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, ROOT)
-OUT = os.path.join(ROOT, "artifacts", "quality_large")
 
 NUM_VIDEOS = 10_000
 NUM_QUERIES = 66_000          # ~2.2 queries per planted moment (~30k moments)
@@ -46,6 +50,17 @@ VOCAB_WORDS = 2_000
 
 
 def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--bank-dtype", default="float32",
+                    choices=("float32", "bfloat16"))
+    ap.add_argument("--out", default=os.path.join(ROOT, "artifacts",
+                                                  "quality_large"))
+    # sweep knobs (validation runs only — the committed artifact uses the
+    # defaults, i.e. the DESIGN 11b recipe)
+    ap.add_argument("--hard-negative-count", type=int, default=8)
+    ap.add_argument("--epochs", type=int, default=20)
+    args = ap.parse_args()
+    OUT = args.out
     from vfr_tpu.utils.compile_cache import enable_compile_cache
 
     enable_compile_cache()   # warm-start compile reuse (docs/DESIGN.md 19)
@@ -73,14 +88,15 @@ def main():
             synthetic_num_queries=NUM_QUERIES,
             synthetic_noise=0.25,
             synthetic_vocab_words=VOCAB_WORDS,
+            bank_dtype=args.bank_dtype,
         ),
         train=dataclasses.replace(
             base.train,
-            num_epochs=20,
+            num_epochs=args.epochs,
             batch_size=64,
             lambda_inter=0.5,
             inter_negatives="all_spans",
-            hard_negative_count=8,
+            hard_negative_count=args.hard_negative_count,
             hard_negative_start_epoch=3,
             hard_negative_refresh_epochs=1,
             # ONE fused dispatch + metrics fetch per 875-step epoch: at
@@ -132,8 +148,21 @@ def main():
           f"val {val_ds.num_queries} queries, built in {t_fixture:.0f}s",
           file=sys.stderr, flush=True)
 
+    # Banks uploaded ONCE (at cfg.data.bank_dtype) and shared by the train
+    # loop AND the post-train evals — corpus_evaluate's PASS 1 used to
+    # re-ship the val corpus' features through the host (DESIGN 18/20).
+    from vfr_tpu.data.features import banks_to_device
+
+    device_banks = {
+        "train": banks_to_device(dict(train_ds.feature_banks()),
+                                 cfg.data.bank_dtype),
+        "val": banks_to_device(dict(val_ds.feature_banks()),
+                               cfg.data.bank_dtype),
+    }
+
     t0 = time.perf_counter()
-    params, final_eval = train(cfg, bundle=bundle)
+    params, final_eval = train(cfg, bundle=bundle,
+                               device_banks=device_banks)
     t_train = time.perf_counter() - t0
 
     from vfr_tpu.models.build import build_model
@@ -142,9 +171,11 @@ def main():
     official = evaluate(
         params, model, bundle.val,
         dataclasses.replace(cfg.eval, protocol="didemo_official"),
+        feature_banks=device_banks["val"],
     )
     t0 = time.perf_counter()
-    corpus = corpus_evaluate(params, model, bundle.val, cfg.eval)
+    corpus = corpus_evaluate(params, model, bundle.val, cfg.eval,
+                             feature_banks=device_banks["val"])
     t_corpus = time.perf_counter() - t0
 
     # mining refresh wall costs (VERDICT r2 #1: 'what a refresh costs at
@@ -156,6 +187,7 @@ def main():
 
     out = {
         "preset": "didemo_fusion",
+        "bank_dtype": cfg.data.bank_dtype,
         "fixture": {
             "num_videos": NUM_VIDEOS,
             "num_queries_train": train_ds.num_queries,

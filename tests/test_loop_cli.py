@@ -205,6 +205,103 @@ def test_eval_cadence_and_setup_record(tmp_path):
     assert setup[0]["init_s"] >= 0.0
 
 
+def test_bf16_feature_banks_train_and_eval(tmp_path):
+    """bank_dtype=bfloat16 (halved bank upload/HBM, DESIGN 20) trains to
+    metrics close to the f32-bank run: only the STORED inputs are
+    quantized (~3 significant digits on unit-scale features); compute
+    stays f32, so the two runs should agree to within a few recall
+    points on the tiny fixture."""
+    import dataclasses as dc
+
+    from vfr_tpu.train.loop import train
+
+    cfg32 = _tiny_cfg(tmp_path, epochs=6)
+    cfg32 = dc.replace(cfg32, train=dc.replace(
+        cfg32.train, checkpoint_dir=str(tmp_path / "ck32")))
+    _, m32 = train(cfg32)
+
+    cfg16 = _tiny_cfg(tmp_path, epochs=6)
+    cfg16 = dc.replace(
+        cfg16,
+        data=dc.replace(cfg16.data, bank_dtype="bfloat16"),
+        eval=dc.replace(cfg16.eval, bank_dtype="bfloat16"),
+        train=dc.replace(cfg16.train, checkpoint_dir=str(tmp_path / "ck16")),
+    )
+    _, m16 = train(cfg16)
+    assert np.isfinite(m16["mIoU"])
+    for k in ("R@1_tiou0.5", "R@5_tiou0.5", "mIoU"):
+        assert abs(m32[k] - m16[k]) < 0.15, (k, m32, m16)
+    # the setup record reflects the halved stream-bank bytes
+    recs = [json.loads(l)
+            for l in open(os.path.join(cfg16.train.checkpoint_dir,
+                                       "metrics.jsonl"))]
+    mb16 = next(r for r in recs if r["tag"] == "setup")["bank_mb"]
+    recs32 = [json.loads(l)
+              for l in open(os.path.join(cfg32.train.checkpoint_dir,
+                                         "metrics.jsonl"))]
+    mb32 = next(r for r in recs32 if r["tag"] == "setup")["bank_mb"]
+    assert mb16 < 0.6 * mb32, (mb16, mb32)
+
+
+def test_banks_to_device_rejects_unknown_dtype():
+    from vfr_tpu.data.features import banks_to_device
+
+    with pytest.raises(ValueError):
+        banks_to_device({"rgb": np.zeros((2, 3, 4), np.float32)}, "int8")
+
+
+def test_injected_device_banks_match_self_built(tmp_path):
+    """train(device_banks=...) (the build-once-reuse-everywhere path the
+    spec-scale quality runs use, DESIGN 20) is bit-identical to the loop
+    uploading its own banks, and rejects banks missing required keys."""
+    import dataclasses as dc
+
+    from vfr_tpu.data.features import banks_to_device
+    from vfr_tpu.data.loaders import load_datasets
+    from vfr_tpu.train.loop import train
+
+    cfg = _tiny_cfg(tmp_path, epochs=4)
+    _, m_own = train(cfg)
+
+    cfg2 = dc.replace(cfg, train=dc.replace(
+        cfg.train, checkpoint_dir=str(tmp_path / "ck_inj")))
+    bundle = load_datasets(cfg2.data)
+    banks = {
+        "train": banks_to_device(dict(bundle.train.feature_banks()),
+                                 cfg2.data.bank_dtype),
+        "val": banks_to_device(dict(bundle.val.feature_banks()),
+                               cfg2.data.bank_dtype),
+    }
+    _, m_inj = train(cfg2, bundle=bundle, device_banks=banks)
+    for k in ("R@1_tiou0.5", "R@5_tiou0.5", "mIoU"):
+        assert m_own[k] == m_inj[k], (k, m_own, m_inj)
+
+    with pytest.raises(ValueError, match="missing keys"):
+        train(cfg2, bundle=bundle,
+              device_banks={"train": {}, "val": banks["val"]})
+
+
+def test_corpus_evaluate_with_device_banks(tmp_path):
+    """corpus_evaluate(feature_banks=...) (PASS 1 gathers in HBM instead
+    of re-shipping features) returns identical metrics."""
+    from vfr_tpu.data.features import banks_to_device
+    from vfr_tpu.data.loaders import load_datasets
+    from vfr_tpu.eval.corpus import corpus_evaluate
+    from vfr_tpu.models.build import build_model
+    from vfr_tpu.train.loop import train
+
+    cfg = _tiny_cfg(tmp_path, epochs=2)
+    params, _ = train(cfg)
+    bundle = load_datasets(cfg.data)
+    model = build_model(cfg, dataset=bundle.train)
+    ref = corpus_evaluate(params, model, bundle.val, cfg.eval)
+    banks = banks_to_device(dict(bundle.val.feature_banks()),
+                            cfg.data.bank_dtype)
+    got = corpus_evaluate(params, model, bundle.val, cfg.eval,
+                          feature_banks=banks)
+    assert ref == got, (ref, got)
+
+
 def test_cli_train_eval_every_flag(tmp_path, capsys):
     """--eval-every / --steps-per-call reach TrainConfig via the CLI."""
     from vfr_tpu.cli import main

@@ -31,6 +31,12 @@ def build_parser() -> argparse.ArgumentParser:
         sp.add_argument("--batch-size", type=int, default=None)
         sp.add_argument("--seed", type=int, default=None)
         sp.add_argument("--metrics-path", default=None)
+        sp.add_argument("--bank-dtype", default=None,
+                        choices=("float32", "bfloat16"),
+                        help="device feature-bank storage dtype; bfloat16 "
+                             "halves the one-time bank upload + bank HBM "
+                             "(inputs quantized, compute unchanged — "
+                             "DESIGN 20)")
         sp.add_argument("--compute-dtype", default=None,
                         choices=["float32", "bfloat16"])
 
@@ -127,6 +133,8 @@ def apply_overrides(cfg, args):
     data, model, train, ev = cfg.data, cfg.model, cfg.train, cfg.eval
     if args.data_dir is not None:
         data = dataclasses.replace(data, data_dir=args.data_dir)
+    if getattr(args, "bank_dtype", None) is not None:
+        data = dataclasses.replace(data, bank_dtype=args.bank_dtype)
     if args.compute_dtype is not None:
         model = dataclasses.replace(model, compute_dtype=args.compute_dtype)
     tkw = {}
@@ -167,6 +175,8 @@ def apply_overrides(cfg, args):
         ekw["topk_method"] = args.topk_method
     if getattr(args, "index_dtype", None) is not None:
         ekw["index_dtype"] = args.index_dtype
+    if getattr(args, "bank_dtype", None) is not None:
+        ekw["bank_dtype"] = args.bank_dtype
     if ekw:
         ev = dataclasses.replace(ev, **ekw)
     return dataclasses.replace(cfg, data=data, model=model, train=train, eval=ev)

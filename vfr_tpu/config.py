@@ -45,6 +45,13 @@ class DataConfig:
     # Feature streams.
     feature_dim: int = 2048             # ResNet-152 pool5
     use_flow: bool = False
+    # Device-resident feature-bank storage dtype ("float32" | "bfloat16").
+    # bf16 halves the one-time bank H2D upload — the dominant cold-start
+    # cost at spec scale (1.97 GB at ~10 MB/s relay, DESIGN 18) — and
+    # halves bank HBM.  Features upcast to the model compute dtype at
+    # gather time; only the stored inputs are quantized (validated at 10k
+    # videos: corpus/localization metrics within seed jitter, DESIGN 20).
+    bank_dtype: str = "float32"
     # Synthetic fixture (no real data in this environment).
     synthetic_num_videos: int = 64
     synthetic_num_queries: int = 256
@@ -165,6 +172,9 @@ class EvalConfig:
     # streamed in full per query batch); distances accumulate in f32 either
     # way.  "float32" = exact.
     index_dtype: str = "float32"
+    # Eval-side twin of DataConfig.bank_dtype: storage dtype for feature
+    # banks built inside evaluate() when none are passed in.
+    bank_dtype: str = "float32"
 
 
 @dataclass(frozen=True)

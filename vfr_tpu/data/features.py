@@ -75,3 +75,34 @@ class FeatureStore:
         if os.path.exists(vfrf):
             return cls.load(vfrf)
         return None
+
+
+# feature-stream bank keys eligible for bank_dtype quantization; small
+# exact tables (video_tef, masks) always stay at their native dtype
+_STREAM_KEYS = ("rgb", "flow")
+
+
+def banks_to_device(banks: dict, bank_dtype: str = "float32",
+                    sharding=None):
+    """One-time device upload of full-corpus feature banks.
+
+    ``bank_dtype="bfloat16"`` converts the rgb/flow streams ON THE HOST
+    before the transfer — halving the H2D bytes (the dominant spec-scale
+    cold-start cost, docs/DESIGN.md 18) and the banks' HBM footprint.
+    Consumers upcast to the model compute dtype at gather time, so only
+    the stored inputs are quantized.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    if bank_dtype not in ("float32", "bfloat16"):
+        raise ValueError(f"unknown bank_dtype {bank_dtype!r}")
+    dt = jnp.bfloat16 if bank_dtype == "bfloat16" else jnp.float32
+    host = {
+        k: (np.asarray(v).astype(dt) if k in _STREAM_KEYS
+            else np.asarray(v))
+        for k, v in banks.items()
+    }
+    if sharding is not None:
+        return jax.device_put(host, sharding)
+    return jax.device_put(host)

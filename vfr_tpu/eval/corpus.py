@@ -962,11 +962,17 @@ def make_gt_ranker(model: Model, index: MomentIndex,
 def corpus_evaluate(
     params, model: Model, dataset, ecfg: EvalConfig,
     mesh: Optional[jax.sharding.Mesh] = None,
+    feature_banks=None,
 ) -> Dict[str, float]:
+    """``feature_banks``: optional device-resident stream banks (see
+    build_moment_index) — a caller that already holds the corpus in HBM
+    (e.g. train->corpus-eval in one process) skips re-shipping ~2 GB of
+    features through the host for PASS 1 of the index build."""
     index = build_moment_index(
         params, model, dataset, num_videos=ecfg.corpus_num_videos,
         index_dtype=getattr(ecfg, "index_dtype", "float32"),
         with_fingerprint=False,    # transient: never persisted
+        feature_banks=feature_banks,
     )
     rnn_kernel = getattr(ecfg, "rnn_kernel", "scan")
     ks = tuple(ecfg.recall_ks)

@@ -109,9 +109,11 @@ def evaluate(
     taus = tuple(ecfg.tiou_thresholds)
     kmax = max(ks)
     if feature_banks is None:
-        feature_banks = jax.device_put(
-            {k: jnp.asarray(v) for k, v in dataset.feature_banks().items()}
-        )
+        from vfr_tpu.data.features import banks_to_device
+
+        feature_banks = banks_to_device(
+            dataset.feature_banks(),
+            getattr(ecfg, "bank_dtype", "float32"))
     score = make_scorer(model, feature_banks,
                         rnn_kernel=getattr(ecfg, "rnn_kernel", "scan"))
 

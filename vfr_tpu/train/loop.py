@@ -36,8 +36,17 @@ def train(
     resume: bool = False,
     mesh: Optional[jax.sharding.Mesh] = None,
     logger: Optional[MetricsLogger] = None,
+    device_banks: Optional[Dict[str, Dict]] = None,
 ) -> Tuple[Dict, Dict[str, float]]:
-    """Run the full training loop; returns (params, final_eval_metrics)."""
+    """Run the full training loop; returns (params, final_eval_metrics).
+
+    ``device_banks``: optional {"train": banks, "val": banks} of
+    ALREADY-device-resident feature banks (data/features.banks_to_device).
+    A caller that needs the banks after training (evaluate /
+    corpus_evaluate / mining sweeps) builds them once and injects them —
+    the loop then skips its own upload, and the caller's post-train evals
+    skip re-shipping ~2 GB of features at spec scale (DESIGN 18).
+    """
     tcfg = cfg.train
     if bundle is None:
         bundle = load_datasets(cfg.data)
@@ -78,12 +87,20 @@ def train(
         bank_arrays["video_tef"] = ds.video_tef
     val_bank_arrays = dict(val_ds.feature_banks())
     t_banks = time.perf_counter()
-    train_banks = jax.device_put(
-        {k: jnp.asarray(v) for k, v in bank_arrays.items()}
-    )
-    val_banks = jax.device_put(
-        {k: jnp.asarray(v) for k, v in val_bank_arrays.items()}
-    )
+    from vfr_tpu.data.features import banks_to_device
+
+    if device_banks is not None:
+        train_banks = device_banks["train"]
+        val_banks = device_banks["val"]
+        missing = set(bank_arrays) - set(train_banks)
+        if missing:
+            raise ValueError(
+                f"injected device_banks['train'] missing keys {missing} "
+                f"(Charades needs the video_tef bank — build from the "
+                f"dataset's feature_banks() plus video_tef)")
+    else:
+        train_banks = banks_to_device(bank_arrays, cfg.data.bank_dtype)
+        val_banks = banks_to_device(val_bank_arrays, cfg.data.bank_dtype)
     # block_until_ready so bank_upload_s captures the synchronous share of
     # the H2D enqueue.  NOTE: on the axon relay block_until_ready does NOT
     # force execution (DESIGN 19) — the deferred upload+compile backlog
@@ -91,8 +108,8 @@ def train(
     # host-side cost, not device truth.
     jax.block_until_ready((train_banks, val_banks))
     bank_mb = sum(
-        int(np.asarray(v).nbytes)
-        for d in (bank_arrays, val_bank_arrays) for v in d.values()
+        int(v.nbytes)           # device-array nbytes = bytes shipped
+        for d in (train_banks, val_banks) for v in d.values()
     ) / 1e6
     logger.log("setup", start_step, {
         "init_s": round(t_banks - t_setup, 3),
