@@ -99,6 +99,18 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("--index-path", default=None,
                    help="load a prebuilt moment index (see the `index` "
                         "subcommand) instead of re-embedding the corpus")
+    s.add_argument("--coarse-path", default=None,
+                   help="load a prebuilt coarse (PCA prefilter) index and "
+                        "serve through the two-stage coarse-to-fine "
+                        "retriever — for corpora past ~1M rows where "
+                        "streaming the full index per batch is the wall")
+    s.add_argument("--coarse-dim", type=int, default=None,
+                   help="build the coarse prefilter in-process at this "
+                        "rank (alternative to --coarse-path)")
+    s.add_argument("--coarse-candidates", type=int, default=2048,
+                   help="stage-1 survivors per query re-scored exactly in "
+                        "stage 2 (recall rises with it; stage-2 bytes "
+                        "scale linearly)")
     s.add_argument("--follow", action="store_true",
                    help="daemon mode: answer stdin queries line by line "
                         "(one JSON line per query, flushed immediately) "
@@ -119,6 +131,10 @@ def build_parser() -> argparse.ArgumentParser:
     ix.add_argument("--num-videos", type=int, default=None)
     ix.add_argument("--index-dtype", default=None,
                     choices=["float32", "bfloat16"])
+    ix.add_argument("--coarse-dim", type=int, default=0,
+                    help="also build + save a rank-N PCA prefilter next to "
+                         "the index (<out>.coarse.npz) for two-stage "
+                         "serving (`serve --coarse-path`)")
 
     k = sub.add_parser("pack", help="convert an .npz feature dump to the "
                        "packed mmap .vfrf format (native fast loader)")
@@ -267,6 +283,13 @@ def main(argv=None) -> int:
         path = save_index(index, args.out)
         print(f"indexed {index.num_videos} videos "
               f"({index.num_rows} moments, {index.m.dtype}) -> {path}")
+        if args.coarse_dim > 0:
+            from vfr_tpu.eval.coarse import build_coarse_index, save_coarse
+
+            coarse = build_coarse_index(index, d_coarse=args.coarse_dim)
+            cpath = save_coarse(
+                coarse, path[: -len(".npz")] + ".coarse.npz")
+            print(f"coarse prefilter rank {coarse.d_coarse} -> {cpath}")
         return 0
 
     if args.cmd == "serve":
@@ -278,6 +301,19 @@ def main(argv=None) -> int:
 
         params, model, bundle = load_for_eval(cfg)
         index = load_index(args.index_path) if args.index_path else None
+        coarse = None
+        if args.coarse_path:
+            if index is None:
+                print("error: --coarse-path needs --index-path (the coarse "
+                      "file stores only the prefilter; stage-2 operands "
+                      "come from the moment index)", file=sys.stderr)
+                return 2
+            from vfr_tpu.eval.coarse import load_coarse
+
+            coarse = load_coarse(args.coarse_path, index)
+        coarse_kw = dict(coarse=coarse,
+                         coarse_dim=args.coarse_dim or 0,
+                         coarse_candidates=args.coarse_candidates)
 
         if args.follow:
             import contextlib
@@ -308,6 +344,7 @@ def main(argv=None) -> int:
                     index=index,
                     micro_batch=max(args.micro_batch, 1),
                     mesh=mesh,
+                    **coarse_kw,
                 ):
                     print(json.dumps(rec), flush=True)
             return 0
@@ -331,6 +368,7 @@ def main(argv=None) -> int:
             approx_recall=cfg.eval.approx_recall,
             index_dtype=cfg.eval.index_dtype,
             index=index,
+            **coarse_kw,
         ):
             print(json.dumps(rec))
         return 0

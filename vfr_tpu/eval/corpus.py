@@ -668,6 +668,7 @@ def serve_queries(
     topk_method: str = "exact", approx_recall: float = 0.95,
     index_dtype: str = "float32",
     index: Optional[MomentIndex] = None,
+    coarse=None, coarse_dim: int = 0, coarse_candidates: int = 2048,
 ):
     """Large-scale serving (BASELINE.json:11): answer free-text queries
     against the cached moment index; returns a list of
@@ -675,7 +676,13 @@ def serve_queries(
 
     ``index``: a prebuilt/loaded MomentIndex (see save_index/load_index)
     skips the corpus-embedding PASS 1 — the serving-process cold-start
-    drops to checkpoint load + one retriever compile."""
+    drops to checkpoint load + one retriever compile.
+
+    ``coarse`` (a prebuilt CoarseIndex) or ``coarse_dim > 0`` (build the
+    PCA prefilter in-process) routes retrieval through the two-stage
+    coarse-to-fine path (eval/coarse.py) — for corpora past ~1M rows
+    where streaming the full index per batch is the wall.  Single-device
+    only (the sharded retriever already splits the stream over ICI)."""
     from vfr_tpu.data.glove import tokenize
 
     if len(queries) == 0:
@@ -692,6 +699,13 @@ def serve_queries(
         # loaded/caller-owned index: fail loudly on checkpoint/corpus
         # mismatch instead of silently returning wrong moments (ADVICE r2)
         validate_index(index, params, model, dataset)
+    if coarse is None and coarse_dim > 0:
+        from vfr_tpu.eval.coarse import build_coarse_index
+
+        coarse = build_coarse_index(index, d_coarse=coarse_dim)
+    if coarse is not None and mesh is not None:
+        raise ValueError("coarse retrieval composes with a single device; "
+                         "drop --shards or the coarse index")
     video_ids = dataset.video_ids
 
     # tokenize the whole stream into fixed [M, Q, T] blocks
@@ -704,7 +718,28 @@ def serve_queries(
             tokenize(text), max_query_len)
 
     k_eff = min(k, index.num_rows)
-    if mesh is None and M > 1 and topk_method != "fused":
+    if coarse is not None:
+        from vfr_tpu.eval.coarse import (
+            make_coarse_retriever,
+            make_coarse_stream_retriever,
+        )
+
+        if M > 1:
+            retrieve_stream = make_coarse_stream_retriever(
+                model, coarse, k_eff, num_candidates=coarse_candidates,
+                approx_recall=approx_recall)
+            d_all, rows_all = retrieve_stream(
+                params, jnp.asarray(toks_all), jnp.asarray(lens_all))
+            d_all, rows_all = np.asarray(d_all), np.asarray(rows_all)
+        else:
+            retrieve = make_coarse_retriever(
+                model, coarse, k_eff, num_candidates=coarse_candidates,
+                approx_recall=approx_recall)
+            d, r = retrieve(params, jnp.asarray(toks_all[0]),
+                            jnp.asarray(lens_all[0]))
+            d_all, rows_all = np.asarray(d)[None], np.asarray(r)[None]
+        k_eff = min(k_eff, d_all.shape[-1])
+    elif mesh is None and M > 1 and topk_method != "fused":
         # many batches -> ONE dispatch: the lax.scan stream retriever
         # amortizes program-launch + index-prep overhead (~8 ms/dispatch
         # on this runtime) across all batches.  ("fused" selects the
@@ -761,6 +796,7 @@ def serve_follow(
     micro_batch: int = 8,
     mesh: Optional[jax.sharding.Mesh] = None,
     pipeline_depth: int = 2,
+    coarse=None, coarse_dim: int = 0, coarse_candidates: int = 2048,
 ):
     """Daemon serving: answer an ITERATOR of query strings, yielding one
     result record per query in input order (the `serve --follow` CLI mode).
@@ -798,10 +834,24 @@ def serve_follow(
                                    with_fingerprint=False)
     else:
         validate_index(index, params, model, dataset)
-    retrieve = make_retriever(model, index, min(k, index.num_rows),
-                              mesh=mesh,
-                              topk_method=topk_method,
-                              approx_recall=approx_recall)
+    if coarse is None and coarse_dim > 0:
+        from vfr_tpu.eval.coarse import build_coarse_index
+
+        coarse = build_coarse_index(index, d_coarse=coarse_dim)
+    if coarse is not None:
+        if mesh is not None:
+            raise ValueError("coarse retrieval composes with a single "
+                             "device; drop --shards or the coarse index")
+        from vfr_tpu.eval.coarse import make_coarse_retriever
+
+        retrieve = make_coarse_retriever(
+            model, coarse, min(k, index.num_rows),
+            num_candidates=coarse_candidates, approx_recall=approx_recall)
+    else:
+        retrieve = make_retriever(model, index, min(k, index.num_rows),
+                                  mesh=mesh,
+                                  topk_method=topk_method,
+                                  approx_recall=approx_recall)
     if owns_index and topk_method != "fused":
         # the retriever holds its own one-matmul copy; drop the per-stream
         # rows so a long-lived daemon peaks at ~1x the index footprint
