@@ -45,7 +45,7 @@ Q, K = 128, 100
 FEAT, VOCAB = 2048, 4096
 
 
-def part_speed(out):
+def part_speed(out, d_coarse=32):
     from vfr_tpu.config import get_preset
     from vfr_tpu.eval.coarse import build_coarse_index, make_coarse_score_topk
     from vfr_tpu.eval.corpus import MomentIndex, make_score_topk
@@ -82,7 +82,7 @@ def part_speed(out):
     )
 
     t0 = time.perf_counter()
-    coarse = build_coarse_index(index, d_coarse=32)
+    coarse = build_coarse_index(index, d_coarse=d_coarse)
     jax.block_until_ready(coarse.m_low)
     build_s = time.perf_counter() - t0
 
@@ -108,7 +108,7 @@ def part_speed(out):
         return body
 
     res = {"index_rows": N, "coarse_build_s": round(build_s, 2),
-           "d_coarse": 32}
+           "d_coarse": d_coarse}
     sec_full = device_seconds_per_iter(body_of(full), tokens)
     res["full_scan"] = {"batch_ms": round(1e3 * sec_full, 3),
                         "per_query_rate": round(N / sec_full, 1)}
@@ -238,6 +238,8 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--part", default="both",
                     choices=("speed", "recall", "both"))
+    ap.add_argument("--d-coarse", type=int, default=32,
+                    help="prefilter rank for the speed part")
     ap.add_argument("--epochs", type=int, default=8)
     ap.add_argument("--out", default=os.path.join(ROOT, "artifacts",
                                                   "coarse_scale.json"))
@@ -246,7 +248,7 @@ def main():
     if args.part in ("recall", "both"):
         part_recall(out, args.epochs)
     if args.part in ("speed", "both"):
-        part_speed(out)
+        part_speed(out, d_coarse=args.d_coarse)
     os.makedirs(os.path.dirname(args.out), exist_ok=True)
     with open(args.out, "w") as f:
         json.dump(out, f, indent=1)

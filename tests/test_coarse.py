@@ -212,6 +212,17 @@ class TestCLI:
                             "--coarse-candidates", "100000"])
         assert inproc == coarse
 
+        # sharded two-stage (mesh + coarse): full per-shard quota -> the
+        # exact answer, through the CLI mesh path on the 8-device harness
+        sharded = run_serve(["--coarse-dim", "16", "--shards", "8",
+                             "--coarse-candidates", "100000"])
+        for e, s in zip(exact, sharded):
+            assert e["query"] == s["query"]
+            np.testing.assert_allclose(
+                [r["distance"] for r in e["results"]],
+                [r["distance"] for r in s["results"]],
+                rtol=1e-4, atol=1e-5)
+
     def test_coarse_path_requires_index_path(self, tmp_path, capsys):
         from vfr_tpu.cli import main
 
@@ -223,6 +234,45 @@ class TestCLI:
         ])
         assert rc == 2
         assert "--index-path" in capsys.readouterr().err
+
+
+class TestSharded:
+    def test_full_quota_matches_exact(self, setup, devices8):
+        """With C_loc = n_loc every row survives stage 1, stage 2 rescores
+        the whole shard exactly, and the merged top-k must equal the exact
+        single-device retriever (distances as a set; ties may permute)."""
+        from vfr_tpu.eval.coarse import make_sharded_coarse_retriever
+        from vfr_tpu.parallel.mesh import make_mesh
+
+        cfg, model, params, ds, index, toks, lens = setup
+        D = int(index.m.shape[0] * index.m.shape[2])
+        coarse = build_coarse_index(index, d_coarse=D,
+                                    store_dtype=jnp.float32)
+        mesh = make_mesh(("corpus",), devices=devices8)
+        k = 10
+        sh = make_sharded_coarse_retriever(
+            model, coarse, k, mesh, num_candidates=8 * index.num_rows)
+        exact = make_retriever(model, index, k, topk_method="exact")
+        d_s, r_s = sh(params, toks, lens)
+        d_e, r_e = exact(params, toks, lens)
+        np.testing.assert_allclose(np.sort(np.asarray(d_s), 1),
+                                   np.sort(np.asarray(d_e), 1),
+                                   rtol=1e-4, atol=1e-4)
+
+    def test_small_quota_returns_valid_rows(self, setup, devices8):
+        from vfr_tpu.eval.coarse import make_sharded_coarse_retriever
+        from vfr_tpu.parallel.mesh import make_mesh
+
+        cfg, model, params, ds, index, toks, lens = setup
+        coarse = build_coarse_index(index, d_coarse=8)
+        mesh = make_mesh(("corpus",), devices=devices8)
+        sh = make_sharded_coarse_retriever(model, coarse, 5, mesh,
+                                           num_candidates=64)
+        d, rows = sh(params, toks, lens)
+        d, rows = np.asarray(d), np.asarray(rows)
+        # real rows only (padding has msq=+big on both stages), ascending
+        assert rows.min() >= 0 and rows.max() < index.num_rows
+        assert np.all(np.diff(d, axis=1) >= -1e-5)
 
 
 class TestSaveLoad:

@@ -295,6 +295,119 @@ def make_coarse_stream_retriever(
     return retrieve_stream
 
 
+def pad_coarse_rows(coarse: CoarseIndex, multiple: int) -> CoarseIndex:
+    """Pad every row-indexed operand to a multiple (for even ICI sharding);
+    pad rows get msq = +big on BOTH stages so they can never be selected."""
+    N = coarse.num_rows
+    rem = (-N) % multiple
+    if rem == 0:
+        return coarse
+    big = jnp.full((rem,), 1e30, jnp.float32)
+    return CoarseIndex(
+        proj=coarse.proj,
+        m_low=jnp.concatenate(
+            [coarse.m_low,
+             jnp.zeros((rem, coarse.m_low.shape[1]), coarse.m_low.dtype)]),
+        msq_low=jnp.concatenate([coarse.msq_low, big]),
+        m_cat=jnp.concatenate(
+            [coarse.m_cat,
+             jnp.zeros((rem, coarse.m_cat.shape[1]), coarse.m_cat.dtype)]),
+        msq_fused=jnp.concatenate([coarse.msq_fused, big]),
+    )
+
+
+def make_sharded_coarse_retriever(
+    model: Model,
+    coarse: CoarseIndex,
+    k: int,
+    mesh: jax.sharding.Mesh,
+    num_candidates: int = 2048,
+    axis: str = "corpus",
+    approx_recall: float = 0.95,
+    rnn_kernel: Optional[str] = None,
+):
+    """Two-stage retrieval with ALL row-indexed operands sharded over the
+    corpus ICI axis.  Each device runs stage 1 over its local rows, keeps
+    ``num_candidates // ndev`` local survivors, rescores them exactly from
+    its LOCAL full rows (the candidate gather never crosses ICI), and
+    contributes its local top-k; the merged global top-k rides the
+    interconnect as O(ndev * k) candidates — the same communication
+    envelope as ``sharded_corpus_topk_cat``.
+
+    Per-shard stage-1 quotas partition the candidate budget by shard
+    rather than globally (a forced spread); recall vs the single-device
+    retriever at equal total C is equal or better on every measured
+    configuration, and the C_loc = n_loc limit is EXACT (property test)."""
+    ndev = mesh.shape[axis]
+    coarse = pad_coarse_rows(coarse, ndev)
+    N = coarse.num_rows
+    n_loc = N // ndev
+    C_loc = int(min(max(1, num_candidates // ndev), n_loc))
+    k_loc = int(min(k, C_loc))
+    w = np.asarray(model.cfg.stream_weights, np.float32)
+    sqrt_w = np.sqrt(w.astype(np.float64)).astype(np.float32)
+    w_jnp = jnp.asarray(w)
+    P_ = jax.sharding.PartitionSpec
+
+    sh_rows = jax.sharding.NamedSharding(mesh, P_(axis, None))
+    sh_vec = jax.sharding.NamedSharding(mesh, P_(axis))
+    m_low = jax.device_put(coarse.m_low, sh_rows)
+    msq_low = jax.device_put(coarse.msq_low, sh_vec)
+    m_cat = jax.device_put(coarse.m_cat, sh_rows)
+    msq_fused = jax.device_put(coarse.msq_fused, sh_vec)
+    proj = jax.device_put(coarse.proj)
+
+    def body(qs, proj, m_low_loc, msq_low_loc, mcat_loc, msqf_loc):
+        S = qs.shape[0]
+        q_t = jnp.concatenate(
+            [qs[s] * sqrt_w[s] for s in range(S)], axis=-1)
+        q_low = (q_t @ proj).astype(m_low_loc.dtype)
+        s_low = jnp.dot(2.0 * q_low, m_low_loc.T,
+                        preferred_element_type=jnp.float32) \
+            - msq_low_loc[None, :]
+        _, cand = top_k_select(s_low, C_loc, "approx", approx_recall)
+        mc = jnp.take(mcat_loc, cand, axis=0)             # local gather
+        msq_c = jnp.take(msqf_loc, cand, axis=0)
+        qc = jnp.concatenate(
+            [2.0 * w_jnp[s] * qs[s] for s in range(S)], axis=-1)
+        s_full = jnp.einsum("qd,qcd->qc", qc.astype(jnp.float32),
+                            mc.astype(jnp.float32)) - msq_c
+        vals, pos = jax.lax.top_k(s_full, k_loc)
+        shard = jax.lax.axis_index(axis)
+        rows = jnp.take_along_axis(cand, pos, axis=1) + shard * n_loc
+        all_vals = jax.lax.all_gather(vals, axis)         # [ndev, Q, k_loc]
+        all_rows = jax.lax.all_gather(rows, axis)
+        Q = vals.shape[0]
+        cv = jnp.moveaxis(all_vals, 0, 1).reshape(Q, ndev * k_loc)
+        cr = jnp.moveaxis(all_rows, 0, 1).reshape(Q, ndev * k_loc)
+        best, bpos = jax.lax.top_k(cv, min(k, ndev * k_loc))
+        brows = jnp.take_along_axis(cr, bpos, axis=1)
+        dists = query_sq_const(qs, w_jnp)[:, None] - best
+        return dists, brows
+
+    sharded = jax.shard_map(
+        body, mesh=mesh,
+        in_specs=(P_(), P_(), P_(axis, None), P_(axis), P_(axis, None),
+                  P_(axis)),
+        out_specs=(P_(), P_()),
+        # post-all_gather merge is replicated; the static check can't see
+        # it (same rationale as sharded_corpus_topk_cat)
+        check_vma=False,
+    )
+
+    @jax.jit
+    def _retrieve(proj, m_low, msq_low, m_cat, msq_fused,
+                  params, tokens, lengths):
+        qs = _embed_query_streams(params, model, tokens, lengths, rnn_kernel)
+        return sharded(qs, proj, m_low, msq_low, m_cat, msq_fused)
+
+    def retrieve(params, tokens, lengths):
+        return _retrieve(proj, m_low, msq_low, m_cat, msq_fused,
+                         params, tokens, lengths)
+
+    return retrieve
+
+
 def _coarse_fn(model: Model, k: int, C: int, approx_recall: float,
                rnn_kernel: Optional[str]):
     """The two-stage retrieval math with every index operand an explicit

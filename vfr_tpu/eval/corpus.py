@@ -703,9 +703,6 @@ def serve_queries(
         from vfr_tpu.eval.coarse import build_coarse_index
 
         coarse = build_coarse_index(index, d_coarse=coarse_dim)
-    if coarse is not None and mesh is not None:
-        raise ValueError("coarse retrieval composes with a single device; "
-                         "drop --shards or the coarse index")
     video_ids = dataset.video_ids
 
     # tokenize the whole stream into fixed [M, Q, T] blocks
@@ -722,9 +719,22 @@ def serve_queries(
         from vfr_tpu.eval.coarse import (
             make_coarse_retriever,
             make_coarse_stream_retriever,
+            make_sharded_coarse_retriever,
         )
 
-        if M > 1:
+        if mesh is not None:
+            retrieve = make_sharded_coarse_retriever(
+                model, coarse, k_eff, mesh,
+                num_candidates=coarse_candidates,
+                approx_recall=approx_recall)
+            d_list, r_list = [], []
+            for b in range(M):
+                d, r = retrieve(params, jnp.asarray(toks_all[b]),
+                                jnp.asarray(lens_all[b]))
+                d_list.append(np.asarray(d))
+                r_list.append(np.asarray(r))
+            d_all, rows_all = np.stack(d_list), np.stack(r_list)
+        elif M > 1:
             retrieve_stream = make_coarse_stream_retriever(
                 model, coarse, k_eff, num_candidates=coarse_candidates,
                 approx_recall=approx_recall)
@@ -839,14 +849,21 @@ def serve_follow(
 
         coarse = build_coarse_index(index, d_coarse=coarse_dim)
     if coarse is not None:
-        if mesh is not None:
-            raise ValueError("coarse retrieval composes with a single "
-                             "device; drop --shards or the coarse index")
-        from vfr_tpu.eval.coarse import make_coarse_retriever
+        from vfr_tpu.eval.coarse import (
+            make_coarse_retriever,
+            make_sharded_coarse_retriever,
+        )
 
-        retrieve = make_coarse_retriever(
-            model, coarse, min(k, index.num_rows),
-            num_candidates=coarse_candidates, approx_recall=approx_recall)
+        if mesh is not None:
+            retrieve = make_sharded_coarse_retriever(
+                model, coarse, min(k, index.num_rows), mesh,
+                num_candidates=coarse_candidates,
+                approx_recall=approx_recall)
+        else:
+            retrieve = make_coarse_retriever(
+                model, coarse, min(k, index.num_rows),
+                num_candidates=coarse_candidates,
+                approx_recall=approx_recall)
     else:
         retrieve = make_retriever(model, index, min(k, index.num_rows),
                                   mesh=mesh,
