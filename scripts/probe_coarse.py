@@ -47,8 +47,11 @@ FEAT, VOCAB = 2048, 4096
 
 def part_speed(out, d_coarse=32):
     from vfr_tpu.config import get_preset
-    from vfr_tpu.eval.coarse import build_coarse_index, make_coarse_score_topk
-    from vfr_tpu.eval.corpus import MomentIndex, make_score_topk
+    from vfr_tpu.eval.coarse import _coarse_fn, build_coarse_index
+    from vfr_tpu.eval.corpus import (
+        MomentIndex,
+        _score_topk_with_operands,
+    )
     from vfr_tpu.models.build import build_model
     from vfr_tpu.models.mcn import init_model_params
     from vfr_tpu.utils.timing import device_seconds_per_iter
@@ -86,12 +89,11 @@ def part_speed(out, d_coarse=32):
     jax.block_until_ready(coarse.m_low)
     build_s = time.perf_counter() - t0
 
-    full = make_score_topk(model, index, K,
-                           topk_method="approx",
-                           approx_recall=cfg.eval.approx_recall,
-                           # at 2.1M rows the f32 dequant carrier would hold
-                           # a 2.15 GB copy (DESIGN 12c)
-                           carrier_dtype="bfloat16")
+    # index operands ride as TIMING-HARNESS arguments, never closure
+    # constants: a closed-over 1.07 GB operand serializes into the compile
+    # request and exceeds the relay's payload limit (HTTP 413, DESIGN 12c)
+    full_fn, m_cat, msq_fused = _score_topk_with_operands(
+        model, index, K, "approx", cfg.eval.approx_recall, None, "bfloat16")
     index.m, index.m_sq = None, None
     del m16, m_sq
 
@@ -100,29 +102,37 @@ def part_speed(out, d_coarse=32):
     lengths = jnp.asarray(
         rng.integers(4, cfg.data.max_query_len + 1, Q), jnp.int32)
 
-    def body_of(retr):
-        def body(i, toks):
-            t = 1 + (toks + i.astype(jnp.int32)) % (VOCAB - 1)
-            dists, rows = retr(params, t, lengths)
-            return dists
-        return body
+    def full_body(i, toks, m_cat, msq_fused):
+        t = 1 + (toks + i.astype(jnp.int32)) % (VOCAB - 1)
+        dists, rows = full_fn(m_cat, msq_fused, params, t, lengths)
+        return dists
 
     res = {"index_rows": N, "coarse_build_s": round(build_s, 2),
            "d_coarse": d_coarse}
-    sec_full = device_seconds_per_iter(body_of(full), tokens)
+    sec_full = device_seconds_per_iter(full_body, tokens,
+                                       operands=(m_cat, msq_fused))
     res["full_scan"] = {"batch_ms": round(1e3 * sec_full, 3),
                         "per_query_rate": round(N / sec_full, 1)}
+    del m_cat, msq_fused
+    ops = (coarse.proj, coarse.m_low, coarse.msq_low,
+           coarse.m_blk, coarse.msq_blk)
     for C in (1024, 2048, 4096):
-        two = make_coarse_score_topk(model, coarse, K, num_candidates=C,
-                                     approx_recall=cfg.eval.approx_recall)
-        sec = device_seconds_per_iter(body_of(two), tokens)
+        fn = _coarse_fn(model, K, C, cfg.eval.approx_recall, None,
+                        block_rows=coarse.block_rows)
+
+        def coarse_body(i, toks, *ops):
+            t = 1 + (toks + i.astype(jnp.int32)) % (VOCAB - 1)
+            dists, rows = fn(*ops, params, t, lengths)
+            return dists
+
+        sec = device_seconds_per_iter(coarse_body, tokens, operands=ops)
         res[f"coarse_C{C}"] = {
             "batch_ms": round(1e3 * sec, 3),
             "per_query_rate": round(N / sec, 1),
             "speedup_vs_full": round(sec_full / sec, 2),
         }
         print(f"C={C}: {res[f'coarse_C{C}']}", file=sys.stderr, flush=True)
-    out["speed_2p1M_rows"] = res
+    out[f"speed_2p1M_rows_d{d_coarse}"] = res
 
 
 def part_recall(out, epochs):
@@ -212,7 +222,7 @@ def part_recall(out, epochs):
         # spectrum energy captured by the top-d_c PCA directions (computed
         # from the projected rows vs full rows — exact, no re-eigh)
         mt_sq = float(np.asarray(
-            jnp.sum(coarse.m_cat.astype(jnp.float32) ** 2)))
+            jnp.sum(coarse.m_blk.astype(jnp.float32) ** 2)))
         low_sq = float(np.asarray(
             jnp.sum(coarse.m_low.astype(jnp.float32) ** 2)))
         # NOTE m_cat is unweighted concat; with equal stream weights the
@@ -244,14 +254,25 @@ def main():
     ap.add_argument("--out", default=os.path.join(ROOT, "artifacts",
                                                   "coarse_scale.json"))
     args = ap.parse_args()
-    out = {"backend": jax.default_backend()}
+    # merge-with-existing + dump-after-each-part: a crash in the (cheap)
+    # speed part must not lose the (10-min-training) recall results
+    out = {}
+    if os.path.exists(args.out):
+        with open(args.out) as f:
+            out = json.load(f)
+    out["backend"] = jax.default_backend()
+
+    def dump():
+        os.makedirs(os.path.dirname(args.out), exist_ok=True)
+        with open(args.out, "w") as f:
+            json.dump(out, f, indent=1)
+
     if args.part in ("recall", "both"):
         part_recall(out, args.epochs)
+        dump()
     if args.part in ("speed", "both"):
         part_speed(out, d_coarse=args.d_coarse)
-    os.makedirs(os.path.dirname(args.out), exist_ok=True)
-    with open(args.out, "w") as f:
-        json.dump(out, f, indent=1)
+        dump()
     print(json.dumps(out, indent=1))
 
 

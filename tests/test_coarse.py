@@ -223,6 +223,38 @@ class TestCLI:
                 [r["distance"] for r in s["results"]],
                 rtol=1e-4, atol=1e-5)
 
+    def test_cli_corpus_coarse_matches_exact(self, tmp_path, capsys):
+        """`corpus --coarse-dim` with a full candidate quota reproduces the
+        exact corpus metrics (stage 2 rescoring covers every row)."""
+        import ast
+
+        from vfr_tpu.cli import main
+
+        rc = main([
+            "train", "--preset", "didemo_rgb",
+            "--data-dir", str(tmp_path / "none"),
+            "--checkpoint-dir", str(tmp_path / "ck"),
+            "--batch-size", "12", "--epochs", "2",
+        ])
+        assert rc == 0
+        capsys.readouterr()
+
+        def run_corpus(extra):
+            rc = main([
+                "corpus", "--preset", "didemo_rgb",
+                "--data-dir", str(tmp_path / "none"),
+                "--checkpoint-dir", str(tmp_path / "ck"),
+                "--topk", "5", *extra,
+            ])
+            assert rc == 0
+            return ast.literal_eval(capsys.readouterr().out.strip())
+
+        exact = run_corpus([])
+        coarse = run_corpus(["--coarse-dim", "16",
+                             "--coarse-candidates", "100000"])
+        for key in exact:
+            assert abs(exact[key] - coarse[key]) < 1e-6, (key, exact, coarse)
+
     def test_coarse_path_requires_index_path(self, tmp_path, capsys):
         from vfr_tpu.cli import main
 

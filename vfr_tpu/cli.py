@@ -83,6 +83,12 @@ def build_parser() -> argparse.ArgumentParser:
                    choices=["float32", "bfloat16"],
                    help="moment-index storage dtype (bf16 halves the HBM "
                         "bytes of the distance stage)")
+    c.add_argument("--coarse-dim", type=int, default=None,
+                   help="evaluate through the two-stage coarse-to-fine "
+                        "retriever at this PCA rank (0/absent = exact "
+                        "full scan)")
+    c.add_argument("--coarse-candidates", type=int, default=None,
+                   help="stage-1 survivors per query for --coarse-dim")
 
     s = sub.add_parser("serve", help="answer free-text queries against the "
                        "cached moment index (one JSON line per query)")
@@ -191,6 +197,11 @@ def apply_overrides(cfg, args):
         ekw["topk_method"] = args.topk_method
     if getattr(args, "index_dtype", None) is not None:
         ekw["index_dtype"] = args.index_dtype
+    if args.cmd == "corpus" and getattr(args, "coarse_dim", None) is not None:
+        ekw["coarse_dim"] = args.coarse_dim
+    if args.cmd == "corpus" and getattr(args, "coarse_candidates",
+                                        None) is not None:
+        ekw["coarse_candidates"] = args.coarse_candidates
     if getattr(args, "bank_dtype", None) is not None:
         ekw["bank_dtype"] = args.bank_dtype
     if ekw:

@@ -175,6 +175,13 @@ class EvalConfig:
     # Eval-side twin of DataConfig.bank_dtype: storage dtype for feature
     # banks built inside evaluate() when none are passed in.
     bank_dtype: str = "float32"
+    # Coarse-to-fine two-stage retrieval (eval/coarse.py): 0 = full scan
+    # (exact one-matmul score stage); >0 = PCA-prefilter rank.  Measured
+    # at 210k rows (trained embeddings): d=64 / C=1024 keeps recall@1 =
+    # 1.0, recall@100 = 0.97 vs exact (artifacts/coarse_scale.json); the
+    # win is HBM bytes at >=1M-row corpora.
+    coarse_dim: int = 0
+    coarse_candidates: int = 2048
 
 
 @dataclass(frozen=True)

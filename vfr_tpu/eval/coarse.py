@@ -4,11 +4,18 @@ Capability extension beyond the SURVEY.md §2 inventory (C14 corpus
 retrieval / BASELINE.json:11 large-scale serving): the exact one-matmul
 retriever (eval/corpus.py) streams the WHOLE ``[N, S*d]`` index from HBM
 every query batch — at 100k videos (2.1M rows) that is ~1.07 GB/batch and
-the score stage alone costs ~1.3 ms at the HBM roofline (docs/DESIGN.md
+the score stage alone costs ~1.7 ms at the HBM roofline (docs/DESIGN.md
 entry 12c).  Past that scale, bytes are the wall.
 
 This module trades a small, MEASURED recall loss for an ~8x smaller
-stream:
+stream.  The design is BLOCK-structured end to end — the first (row-
+level) cut of this module lost 4.5-25x to the full scan at 2.1M rows
+because every non-dense piece was pathological on this hardware
+(scripts/probe_coarse_stages.py / probe_topg*.py, all numbers 2.1M rows,
+Q = 128): scattered 512 B row gathers ran at 41 GB/s vs 164 GB/s for
+contiguous 128-row blocks; ``approx_max_k`` over [Q, N] cost +1.4 ms; and
+any consumer that forced the [Q, G] block maxima to materialize made XLA
+spill the [Q, N] f32 scores through HBM (+6 ms).  Hence:
 
 * **PASS 1b** (``build_coarse_index``): PCA-project the stream-concatenated
   rows ``m_tilde = concat_s(sqrt(w_s) m_s)`` (the space in which the fused
@@ -16,23 +23,36 @@ stream:
   bf16.  The projection is computed from the index itself: a [D, D]
   second-moment matmul on device + a host ``eigh`` (D = S*d = 256 — tiny).
   No mean subtraction anywhere: distance differences cancel shifts, and
-  the covariance is centered only for the eigenbasis estimate.
-* **Stage 1** (coarse): ONE [Q, d_c] x [d_c, N] matmul over the projected
-  rows — ~N*(2*d_c+4) bytes instead of ~N*(2*D+4) — then
-  ``approx_max_k`` keeps ``num_candidates`` rows per query.
-* **Stage 2** (rerank): gather the candidates' FULL rows ([Q, C, D] bf16)
-  and score them exactly (same fused scores as the exact retriever), then
-  exact top-k.  The final distances are exact fused distances; only
+  the covariance is centered only for the eigenbasis estimate.  Stage-2
+  operands are stored pre-blocked: ``m_blk [G, B*D]`` — the full rows
+  re-laid-out as G contiguous blocks of B = 128 rows.
+* **Stage 1** (coarse): stream the ``[N, d_c]`` projected rows ONCE and
+  reduce each contiguous B-row block to its best coarse score — a fused
+  Pallas kernel on TPU (ops/pallas/coarse_kernel.py; the XLA formulation
+  materializes [Q, N] and costs 6.4 ms vs ~0.2), the jnp twin elsewhere.
+  Then EXACT ``top_k`` picks ``g = ceil(num_candidates / B)`` blocks per
+  query from the tiny [Q, G] maxima (0.22 ms at G = 16k).
+* **Stage 2** (rerank): gather the g surviving blocks' FULL rows
+  ([Q, g, B*D] bf16, contiguous 256 KB DMAs) and score every row of every
+  surviving block exactly (same fused scores as the exact retriever),
+  then exact top-k.  The final distances are exact fused distances; only
   membership of the candidate set is approximate, and stage-1 recall is
   what the probe/tests measure.
 
+Block selection vs row selection and recall: the corpus index is
+video-major (21-64 consecutive rows per video), so a query's true top-k
+clusters inside few videos — a surviving block carries its whole cluster
+for ONE unit of budget, and every row of it is rescored exactly.  The
+candidate budget is spent in 128-row units, which only hurts when true
+positives are scattered across more than g videos.
+
 TPU-first design notes: both stages are streaming matmuls (MXU/HBM
-friendly); the candidate gather is the only random access and its bytes
-(Q*C*D*2) are sized to stay well under the full-index stream.  Static
-shapes throughout (num_candidates is a compile-time constant).  This is
-the classic IVF trade re-shaped for the TPU: clustering+gather of ragged
-inverted lists would turn the hot loop into scattered HBM reads, while a
-low-rank prefilter keeps it dense.
+friendly); the candidate gather is the only random access and it moves
+contiguous 256 KB blocks.  Static shapes throughout (``num_candidates``
+is a compile-time constant).  This is the classic IVF trade re-shaped for
+the TPU: clustering + gather of ragged inverted lists would turn the hot
+loop into scattered HBM reads, while a low-rank prefilter + fixed-size
+blocks keep it dense.
 """
 
 from __future__ import annotations
@@ -51,21 +71,29 @@ from vfr_tpu.eval.corpus import (
     _query_model_key,
 )
 from vfr_tpu.models.mcn import Model
-from vfr_tpu.ops.topk import top_k_select
+from vfr_tpu.ops.pallas.coarse_kernel import (
+    coarse_blockmax,
+    coarse_blockmax_reference,
+)
 from vfr_tpu.parallel.sharding import query_sq_const
 
 _INVALID = 1e29   # rows with msq above this are padding — never retrievable
+
+BLOCK_ROWS = 128  # rows per stage-2 gather block (256 KB at D=256 bf16)
 
 
 @dataclass
 class CoarseIndex:
     proj: jnp.ndarray      # [D, d_c] f32 PCA basis (D = S*d)
-    m_low: jnp.ndarray     # [N, d_c] projected rows (bf16 by default)
-    msq_low: jnp.ndarray   # [N] f32 |m_low|^2, +1e30 on invalid rows
-    # stage-2 operands: the UNWEIGHTED stream-concat rows + fused norms
-    # (identical scoring math to the exact retriever's one-matmul layout)
-    m_cat: jnp.ndarray     # [N, D] storage dtype
-    msq_fused: jnp.ndarray  # [N] f32
+    m_low: jnp.ndarray     # [Npad, d_c] projected rows (bf16 by default)
+    msq_low: jnp.ndarray   # [Npad] f32 |m_low|^2, +1e30 on invalid/pad rows
+    # stage-2 operands, BLOCKED: full rows as G contiguous blocks of
+    # block_rows (identical scoring math to the exact retriever's
+    # one-matmul layout; Npad = G * block_rows)
+    m_blk: jnp.ndarray     # [G, block_rows * D] storage dtype
+    msq_blk: jnp.ndarray   # [G, block_rows] f32, +1e30 on invalid/pad rows
+    n_rows: int            # REAL (unpadded) row count
+    block_rows: int = BLOCK_ROWS
 
     @property
     def d_coarse(self) -> int:
@@ -73,7 +101,15 @@ class CoarseIndex:
 
     @property
     def num_rows(self) -> int:
-        return int(self.m_low.shape[0])
+        return self.n_rows
+
+    @property
+    def num_blocks(self) -> int:
+        return int(self.m_blk.shape[0])
+
+    @property
+    def row_dim(self) -> int:
+        return int(self.m_blk.shape[1]) // self.block_rows
 
 
 def _tilde_rows(index: MomentIndex) -> jnp.ndarray:
@@ -85,11 +121,19 @@ def _tilde_rows(index: MomentIndex) -> jnp.ndarray:
     )
 
 
+def _pad_rows(x: jnp.ndarray, n_pad: int, fill: float = 0.0) -> jnp.ndarray:
+    if n_pad == 0:
+        return x
+    widths = [(0, n_pad)] + [(0, 0)] * (x.ndim - 1)
+    return jnp.pad(x, widths, constant_values=fill)
+
+
 def build_coarse_index(
     index: MomentIndex,
     d_coarse: int = 32,
     store_dtype=jnp.bfloat16,
     chunk: int = 262_144,
+    block_rows: int = BLOCK_ROWS,
 ) -> CoarseIndex:
     """PCA prefilter over the fused-distance space (device matmuls + one
     host eigh of a [D, D] matrix).  Must run while ``index.m`` is still
@@ -145,14 +189,19 @@ def build_coarse_index(
         lows.append(lo)
         sqs.append(sq)
 
+    n_pad = (-N) % block_rows
+    m_low = _pad_rows(jnp.concatenate(lows, axis=0), n_pad)
+    msq_low = _pad_rows(jnp.concatenate(sqs, axis=0), n_pad, 1e30)
+
     m_cat, msq_fused = fuse_index_cat(index.m, index.m_sq, index.weights)
-    return CoarseIndex(
-        proj=proj,
-        m_low=jnp.concatenate(lows, axis=0),
-        msq_low=jnp.concatenate(sqs, axis=0),
-        m_cat=jax.device_put(m_cat),
-        msq_fused=jax.device_put(msq_fused),
-    )
+    G = (N + n_pad) // block_rows
+    m_blk = _pad_rows(jax.device_put(m_cat), n_pad).reshape(
+        G, block_rows * D)
+    msq_blk = _pad_rows(jax.device_put(msq_fused), n_pad, 1e30).reshape(
+        G, block_rows)
+    return CoarseIndex(proj=proj, m_low=m_low, msq_low=msq_low,
+                       m_blk=m_blk, msq_blk=msq_blk, n_rows=N,
+                       block_rows=block_rows)
 
 
 def save_coarse(coarse: CoarseIndex, path: str) -> str:
@@ -167,7 +216,9 @@ def save_coarse(coarse: CoarseIndex, path: str) -> str:
         m_store, m_dtype = m_low.astype(np.float32), "float32"
     np.savez(path, proj=np.asarray(coarse.proj, np.float32),
              m_low=m_store, m_dtype=np.asarray(m_dtype),
-             msq_low=np.asarray(coarse.msq_low, np.float32))
+             msq_low=np.asarray(coarse.msq_low, np.float32),
+             n_rows=np.asarray(coarse.n_rows),
+             block_rows=np.asarray(coarse.block_rows))
     return path
 
 
@@ -182,14 +233,44 @@ def load_coarse(path: str, index: MomentIndex) -> CoarseIndex:
                  else jnp.asarray(z["m_low"], jnp.float32))
         proj = jnp.asarray(z["proj"], jnp.float32)
         msq_low = jnp.asarray(z["msq_low"], jnp.float32)
-    if int(m_low.shape[0]) != index.num_rows:
+        n_rows = int(z["n_rows"])
+        block_rows = int(z["block_rows"])
+    if n_rows != index.num_rows:
         raise ValueError(
-            f"coarse index has {int(m_low.shape[0])} rows but the moment "
+            f"coarse index has {n_rows} rows but the moment "
             f"index has {index.num_rows}: built from a different corpus")
+    D = int(index.m.shape[0] * index.m.shape[2])
     m_cat, msq_fused = fuse_index_cat(index.m, index.m_sq, index.weights)
+    n_pad = (-n_rows) % block_rows
+    G = (n_rows + n_pad) // block_rows
+    m_blk = _pad_rows(jax.device_put(m_cat), n_pad).reshape(
+        G, block_rows * D)
+    msq_blk = _pad_rows(jax.device_put(msq_fused), n_pad, 1e30).reshape(
+        G, block_rows)
     return CoarseIndex(proj=proj, m_low=m_low, msq_low=msq_low,
-                       m_cat=jax.device_put(m_cat),
-                       msq_fused=jax.device_put(msq_fused))
+                       m_blk=m_blk, msq_blk=msq_blk, n_rows=n_rows,
+                       block_rows=block_rows)
+
+
+def _num_blocks(num_candidates: int, block_rows: int, G: int) -> int:
+    """Stage-1 survivors in BLOCKS from a row-denominated budget."""
+    return int(min(max(1, -(-int(num_candidates) // block_rows)), G))
+
+
+def _blockmax(q_low, m_low, msq_low, block_rows: int):
+    """Dispatch stage 1: Pallas kernel on TPU (the XLA lowering
+    materializes the [Q, N] scores once [Q, G] must exist — 6.4 ms vs
+    ~0.2 at 2.1M rows), jnp twin elsewhere (CPU harness, interpret-free).
+    """
+    if jax.default_backend() == "tpu":
+        N = m_low.shape[0]
+        # VMEM budget: the [bn, bq] f32 score tile dominates (8192 x 128
+        # x 4 B = 4 MB); N is always a block_rows multiple here
+        bn = min(8192, N)
+        return coarse_blockmax(q_low, m_low, msq_low,
+                               block_rows=block_rows, block_n=bn)
+    return coarse_blockmax_reference(q_low, m_low, msq_low,
+                                     block_rows=block_rows)
 
 
 def make_coarse_retriever(
@@ -197,7 +278,7 @@ def make_coarse_retriever(
     coarse: CoarseIndex,
     k: int,
     num_candidates: int = 2048,
-    approx_recall: float = 0.95,
+    approx_recall: float = 0.95,   # kept for API parity; stage 1 is exact
     rnn_kernel: Optional[str] = None,
 ):
     """Jitted ``(params, tokens, lengths) -> (dists [Q, k], rows [Q, k])``
@@ -205,26 +286,29 @@ def make_coarse_retriever(
     distances of the returned rows (stage 2 rescoring), only candidate-set
     membership is approximate.
 
-    ``num_candidates``: stage-1 survivors per query.  Recall@k of the
-    two-stage result vs the exact retriever rises with it; bytes gathered
-    in stage 2 scale linearly with it.  Measured trade-offs live in
-    docs/DESIGN.md (coarse entry) / artifacts.
+    ``num_candidates``: stage-1 survivors per query, in rows; rounded UP
+    to whole ``block_rows`` blocks (g = ceil(C / B) blocks, all of whose
+    rows are rescored exactly).  Recall@k of the two-stage result vs the
+    exact retriever rises with it; bytes gathered in stage 2 scale
+    linearly with it.  Measured trade-offs live in docs/DESIGN.md (coarse
+    entry) / artifacts/coarse_scale.json.
     """
-    C = int(min(num_candidates, coarse.num_rows))
-    k = int(min(k, C))
+    g = _num_blocks(num_candidates, coarse.block_rows, coarse.num_blocks)
+    k = int(min(k, coarse.num_rows, g * coarse.block_rows))
 
-    cache_key = ("coarse_retrieve", _query_model_key(model), k, C,
-                 approx_recall, rnn_kernel, coarse.d_coarse,
+    cache_key = ("coarse_retrieve", _query_model_key(model), k, g,
+                 rnn_kernel, coarse.d_coarse, coarse.block_rows,
                  tuple(np.asarray(model.cfg.stream_weights).tolist()))
     _retrieve = _JIT_CACHE.get(cache_key)
     if _retrieve is None:
         _retrieve = jax.jit(
-            _coarse_fn(model, k, C, approx_recall, rnn_kernel))
+            _coarse_fn(model, k, g * coarse.block_rows, approx_recall,
+                       rnn_kernel, block_rows=coarse.block_rows))
         _JIT_CACHE[cache_key] = _retrieve
 
     def retrieve(params, tokens, lengths):
         return _retrieve(coarse.proj, coarse.m_low, coarse.msq_low,
-                         coarse.m_cat, coarse.msq_fused,
+                         coarse.m_blk, coarse.msq_blk,
                          params, tokens, lengths)
 
     return retrieve
@@ -242,12 +326,14 @@ def make_coarse_score_topk(
     ``make_score_topk``): ``(params, tokens, lengths) -> (dists, rows)``.
     Exposed so probes/bench can time exactly this program in the
     elision-proof in-program loop."""
-    C = int(min(num_candidates, coarse.num_rows))
-    fn = _coarse_fn(model, int(min(k, C)), C, approx_recall, rnn_kernel)
+    g = _num_blocks(num_candidates, coarse.block_rows, coarse.num_blocks)
+    k = int(min(k, coarse.num_rows, g * coarse.block_rows))
+    fn = _coarse_fn(model, k, g * coarse.block_rows, approx_recall,
+                    rnn_kernel, block_rows=coarse.block_rows)
 
     def score_topk(params, tokens, lengths):
         return fn(coarse.proj, coarse.m_low, coarse.msq_low,
-                  coarse.m_cat, coarse.msq_fused, params, tokens, lengths)
+                  coarse.m_blk, coarse.msq_blk, params, tokens, lengths)
 
     return score_topk
 
@@ -265,21 +351,23 @@ def make_coarse_stream_retriever(
     ``make_stream_retriever`` — same ~8 ms/dispatch amortization
     rationale, DESIGN 12b).  ``(params, tokens [M, Q, T], lengths
     [M, Q]) -> (dists [M, Q, k], rows [M, Q, k])``."""
-    C = int(min(num_candidates, coarse.num_rows))
-    fn = _coarse_fn(model, int(min(k, C)), C, approx_recall, rnn_kernel)
+    g = _num_blocks(num_candidates, coarse.block_rows, coarse.num_blocks)
+    k = int(min(k, coarse.num_rows, g * coarse.block_rows))
+    fn = _coarse_fn(model, k, g * coarse.block_rows, approx_recall,
+                    rnn_kernel, block_rows=coarse.block_rows)
 
-    cache_key = ("coarse_stream", _query_model_key(model), k, C,
-                 approx_recall, rnn_kernel, coarse.d_coarse,
+    cache_key = ("coarse_stream", _query_model_key(model), k, g,
+                 rnn_kernel, coarse.d_coarse, coarse.block_rows,
                  tuple(np.asarray(model.cfg.stream_weights).tolist()))
     _retrieve = _JIT_CACHE.get(cache_key)
     if _retrieve is None:
 
         @jax.jit
-        def _retrieve(proj, m_low, msq_low, m_cat, msq_fused,
+        def _retrieve(proj, m_low, msq_low, m_blk, msq_blk,
                       params, tokens, lengths):
             def body(carry, batch):
                 toks, lens = batch
-                return carry, fn(proj, m_low, msq_low, m_cat, msq_fused,
+                return carry, fn(proj, m_low, msq_low, m_blk, msq_blk,
                                  params, toks, lens)
 
             _, (dists, rows) = jax.lax.scan(body, 0, (tokens, lengths))
@@ -289,30 +377,29 @@ def make_coarse_stream_retriever(
 
     def retrieve_stream(params, tokens, lengths):
         return _retrieve(coarse.proj, coarse.m_low, coarse.msq_low,
-                         coarse.m_cat, coarse.msq_fused,
+                         coarse.m_blk, coarse.msq_blk,
                          params, tokens, lengths)
 
     return retrieve_stream
 
 
-def pad_coarse_rows(coarse: CoarseIndex, multiple: int) -> CoarseIndex:
-    """Pad every row-indexed operand to a multiple (for even ICI sharding);
-    pad rows get msq = +big on BOTH stages so they can never be selected."""
-    N = coarse.num_rows
-    rem = (-N) % multiple
+def pad_coarse_blocks(coarse: CoarseIndex, multiple: int) -> CoarseIndex:
+    """Pad the BLOCK axis to a multiple (for even ICI sharding); pad
+    blocks get msq = +big on BOTH stages so they can never be selected."""
+    G = coarse.num_blocks
+    rem = (-G) % multiple
     if rem == 0:
         return coarse
-    big = jnp.full((rem,), 1e30, jnp.float32)
+    B = coarse.block_rows
     return CoarseIndex(
         proj=coarse.proj,
-        m_low=jnp.concatenate(
-            [coarse.m_low,
-             jnp.zeros((rem, coarse.m_low.shape[1]), coarse.m_low.dtype)]),
-        msq_low=jnp.concatenate([coarse.msq_low, big]),
-        m_cat=jnp.concatenate(
-            [coarse.m_cat,
-             jnp.zeros((rem, coarse.m_cat.shape[1]), coarse.m_cat.dtype)]),
-        msq_fused=jnp.concatenate([coarse.msq_fused, big]),
+        m_low=_pad_rows(coarse.m_low, rem * B),
+        msq_low=_pad_rows(coarse.msq_low, rem * B, 1e30),
+        m_blk=_pad_rows(coarse.m_blk, rem),
+        msq_blk=jnp.concatenate(
+            [coarse.msq_blk, jnp.full((rem, B), 1e30, jnp.float32)]),
+        n_rows=coarse.n_rows,
+        block_rows=B,
     )
 
 
@@ -326,24 +413,29 @@ def make_sharded_coarse_retriever(
     approx_recall: float = 0.95,
     rnn_kernel: Optional[str] = None,
 ):
-    """Two-stage retrieval with ALL row-indexed operands sharded over the
-    corpus ICI axis.  Each device runs stage 1 over its local rows, keeps
-    ``num_candidates // ndev`` local survivors, rescores them exactly from
-    its LOCAL full rows (the candidate gather never crosses ICI), and
-    contributes its local top-k; the merged global top-k rides the
+    """Two-stage retrieval with ALL block-indexed operands sharded over
+    the corpus ICI axis.  Each device runs stage 1 over its local blocks,
+    keeps ``ceil(g / ndev)`` local survivor blocks, rescores them exactly
+    from its LOCAL full rows (the candidate gather never crosses ICI),
+    and contributes its local top-k; the merged global top-k rides the
     interconnect as O(ndev * k) candidates — the same communication
     envelope as ``sharded_corpus_topk_cat``.
 
     Per-shard stage-1 quotas partition the candidate budget by shard
     rather than globally (a forced spread); recall vs the single-device
-    retriever at equal total C is equal or better on every measured
-    configuration, and the C_loc = n_loc limit is EXACT (property test)."""
+    retriever at equal total budget is equal or better on every measured
+    configuration, and the g_loc = G_loc limit is EXACT (property test).
+    """
     ndev = mesh.shape[axis]
-    coarse = pad_coarse_rows(coarse, ndev)
-    N = coarse.num_rows
-    n_loc = N // ndev
-    C_loc = int(min(max(1, num_candidates // ndev), n_loc))
-    k_loc = int(min(k, C_loc))
+    coarse = pad_coarse_blocks(coarse, ndev)
+    B = coarse.block_rows
+    G = coarse.num_blocks
+    G_loc = G // ndev
+    g_total = _num_blocks(num_candidates, B, G)
+    g_loc = int(min(max(1, -(-g_total // ndev)), G_loc))
+    k_loc = int(min(k, g_loc * B))
+    k = int(min(k, coarse.num_rows))
+    D = coarse.row_dim
     w = np.asarray(model.cfg.stream_weights, np.float32)
     sqrt_w = np.sqrt(w.astype(np.float64)).astype(np.float32)
     w_jnp = jnp.asarray(w)
@@ -353,31 +445,32 @@ def make_sharded_coarse_retriever(
     sh_vec = jax.sharding.NamedSharding(mesh, P_(axis))
     m_low = jax.device_put(coarse.m_low, sh_rows)
     msq_low = jax.device_put(coarse.msq_low, sh_vec)
-    m_cat = jax.device_put(coarse.m_cat, sh_rows)
-    msq_fused = jax.device_put(coarse.msq_fused, sh_vec)
+    m_blk = jax.device_put(coarse.m_blk, sh_rows)
+    msq_blk = jax.device_put(coarse.msq_blk, sh_rows)
     proj = jax.device_put(coarse.proj)
 
-    def body(qs, proj, m_low_loc, msq_low_loc, mcat_loc, msqf_loc):
+    def body(qs, proj, m_low_loc, msq_low_loc, mblk_loc, msqb_loc):
         S = qs.shape[0]
         q_t = jnp.concatenate(
             [qs[s] * sqrt_w[s] for s in range(S)], axis=-1)
-        q_low = (q_t @ proj).astype(m_low_loc.dtype)
-        s_low = jnp.dot(2.0 * q_low, m_low_loc.T,
-                        preferred_element_type=jnp.float32) \
-            - msq_low_loc[None, :]
-        _, cand = top_k_select(s_low, C_loc, "approx", approx_recall)
-        mc = jnp.take(mcat_loc, cand, axis=0)             # local gather
-        msq_c = jnp.take(msqf_loc, cand, axis=0)
+        q_low = (q_t @ proj).astype(jnp.float32)
+        sb = _blockmax(q_low, m_low_loc, msq_low_loc, B)   # [Q, G_loc]
+        _, blk = jax.lax.top_k(sb, g_loc)                  # [Q, g_loc]
+        Q = q_low.shape[0]
+        mb = jnp.take(mblk_loc, blk, axis=0)               # [Q,g,B*D]
+        mc = mb.reshape(Q, g_loc * B, D)
+        msq_c = jnp.take(msqb_loc, blk, axis=0).reshape(Q, g_loc * B)
         qc = jnp.concatenate(
             [2.0 * w_jnp[s] * qs[s] for s in range(S)], axis=-1)
         s_full = jnp.einsum("qd,qcd->qc", qc.astype(jnp.float32),
                             mc.astype(jnp.float32)) - msq_c
         vals, pos = jax.lax.top_k(s_full, k_loc)
         shard = jax.lax.axis_index(axis)
-        rows = jnp.take_along_axis(cand, pos, axis=1) + shard * n_loc
-        all_vals = jax.lax.all_gather(vals, axis)         # [ndev, Q, k_loc]
+        cand_rows = ((shard * G_loc + blk[:, :, None]) * B
+                     + jnp.arange(B)[None, None, :]).reshape(Q, g_loc * B)
+        rows = jnp.take_along_axis(cand_rows, pos, axis=1)
+        all_vals = jax.lax.all_gather(vals, axis)          # [ndev, Q, k_loc]
         all_rows = jax.lax.all_gather(rows, axis)
-        Q = vals.shape[0]
         cv = jnp.moveaxis(all_vals, 0, 1).reshape(Q, ndev * k_loc)
         cr = jnp.moveaxis(all_rows, 0, 1).reshape(Q, ndev * k_loc)
         best, bpos = jax.lax.top_k(cv, min(k, ndev * k_loc))
@@ -388,7 +481,7 @@ def make_sharded_coarse_retriever(
     sharded = jax.shard_map(
         body, mesh=mesh,
         in_specs=(P_(), P_(), P_(axis, None), P_(axis), P_(axis, None),
-                  P_(axis)),
+                  P_(axis, None)),
         out_specs=(P_(), P_()),
         # post-all_gather merge is replicated; the static check can't see
         # it (same rationale as sharded_corpus_topk_cat)
@@ -396,51 +489,60 @@ def make_sharded_coarse_retriever(
     )
 
     @jax.jit
-    def _retrieve(proj, m_low, msq_low, m_cat, msq_fused,
+    def _retrieve(proj, m_low, msq_low, m_blk, msq_blk,
                   params, tokens, lengths):
         qs = _embed_query_streams(params, model, tokens, lengths, rnn_kernel)
-        return sharded(qs, proj, m_low, msq_low, m_cat, msq_fused)
+        return sharded(qs, proj, m_low, msq_low, m_blk, msq_blk)
 
     def retrieve(params, tokens, lengths):
-        return _retrieve(proj, m_low, msq_low, m_cat, msq_fused,
+        return _retrieve(proj, m_low, msq_low, m_blk, msq_blk,
                          params, tokens, lengths)
 
     return retrieve
 
 
 def _coarse_fn(model: Model, k: int, C: int, approx_recall: float,
-               rnn_kernel: Optional[str]):
+               rnn_kernel: Optional[str], block_rows: int = BLOCK_ROWS):
     """The two-stage retrieval math with every index operand an explicit
     argument (jit-argument convention, DESIGN 12c — captured index
-    constants ship with the executable)."""
+    constants ship with the executable).  ``C`` is the candidate budget in
+    rows and must be a ``block_rows`` multiple (g = C / block_rows blocks).
+    """
+    assert C % block_rows == 0
+    g = C // block_rows
     # sqrt-weight fold for stage 1 (m_tilde space); stage 2 uses the
     # standard one-matmul scaled-query layout
     w = np.asarray(model.cfg.stream_weights, np.float32)
     sqrt_w = np.sqrt(w.astype(np.float64)).astype(np.float32)
     w_jnp = jnp.asarray(w)
 
-    def fn(proj, m_low, msq_low, m_cat, msq_fused, params, tokens, lengths):
+    def fn(proj, m_low, msq_low, m_blk, msq_blk, params, tokens, lengths):
         qs = _embed_query_streams(params, model, tokens, lengths,
                                   rnn_kernel)                     # [S, Q, d]
         S = qs.shape[0]
+        Q = qs.shape[1]
+        D = m_blk.shape[1] // block_rows
         q_t = jnp.concatenate(
             [qs[s] * sqrt_w[s] for s in range(S)], axis=-1)       # [Q, D]
-        # stage 1: low-rank scores, one [Q, d_c] x [d_c, N] matmul
-        q_low = (q_t @ proj).astype(m_low.dtype)
-        s_low = jnp.dot(2.0 * q_low, m_low.T,
-                        preferred_element_type=jnp.float32) \
-            - msq_low[None, :]                                    # [Q, N]
-        _, cand = top_k_select(s_low, C, "approx", approx_recall)
-        # stage 2: gather full rows, exact fused rescoring
-        mc = jnp.take(m_cat, cand, axis=0)                        # [Q, C, D]
-        msq_c = jnp.take(msq_fused, cand, axis=0)                 # [Q, C]
+        q_low = (q_t @ proj).astype(jnp.float32)
+        # stage 1: stream [N, d_c] once, per-block maxima [Q, G]
+        sb = _blockmax(q_low, m_low, msq_low, block_rows)
+        _, blk = jax.lax.top_k(sb, min(g, sb.shape[1]))           # [Q, g]
+        g_eff = blk.shape[1]
+        # stage 2: gather surviving blocks' full rows, exact rescoring
+        mb = jnp.take(m_blk, blk, axis=0)                  # [Q, g, B*D]
+        mc = mb.reshape(Q, g_eff * block_rows, D)
+        msq_c = jnp.take(msq_blk, blk, axis=0).reshape(Q, g_eff * block_rows)
         qc = jnp.concatenate(
             [2.0 * w_jnp[s] * qs[s] for s in range(S)], axis=-1)
         s_full = jnp.einsum(
             "qd,qcd->qc", qc.astype(jnp.float32),
             mc.astype(jnp.float32)) - msq_c
         vals, pos = jax.lax.top_k(s_full, k)
-        rows = jnp.take_along_axis(cand, pos, axis=1)
+        cand_rows = (blk[:, :, None] * block_rows
+                     + jnp.arange(block_rows)[None, None, :]
+                     ).reshape(Q, g_eff * block_rows)
+        rows = jnp.take_along_axis(cand_rows, pos, axis=1)
         dists = query_sq_const(qs, w_jnp)[:, None] - vals
         return dists, rows
 

@@ -1045,10 +1045,36 @@ def corpus_evaluate(
     ks = tuple(ecfg.recall_ks)
     taus = tuple(ecfg.tiou_thresholds)
     kmax = min(max(max(ks), 10), index.num_rows)
-    retrieve = make_retriever(model, index, kmax, mesh=mesh,
-                              topk_method=ecfg.topk_method,
-                              approx_recall=ecfg.approx_recall,
-                              rnn_kernel=rnn_kernel)
+    coarse_dim = getattr(ecfg, "coarse_dim", 0)
+    if coarse_dim > 0:
+        # two-stage coarse-to-fine retrieval under EVAL: recall metrics
+        # then measure the production approximate path end to end.  The
+        # official GT ranker below stays exact by construction (it ranks
+        # given rows against the full corpus, no candidate set involved).
+        from vfr_tpu.eval.coarse import (
+            build_coarse_index,
+            make_coarse_retriever,
+            make_sharded_coarse_retriever,
+        )
+
+        coarse = build_coarse_index(index, d_coarse=coarse_dim)
+        if mesh is not None:
+            retrieve = make_sharded_coarse_retriever(
+                model, coarse, kmax, mesh,
+                num_candidates=ecfg.coarse_candidates,
+                approx_recall=ecfg.approx_recall,
+                rnn_kernel=rnn_kernel)
+        else:
+            retrieve = make_coarse_retriever(
+                model, coarse, kmax,
+                num_candidates=ecfg.coarse_candidates,
+                approx_recall=ecfg.approx_recall,
+                rnn_kernel=rnn_kernel)
+    else:
+        retrieve = make_retriever(model, index, kmax, mesh=mesh,
+                                  topk_method=ecfg.topk_method,
+                                  approx_recall=ecfg.approx_recall,
+                                  rnn_kernel=rnn_kernel)
     # Official rank-aggregation protocol at corpus scale (the per-video
     # variant's capability twin): mean of the best-3 CORPUS ranks of the
     # annotator GT rows, R@k = fraction with 1-based mean <= k.  Exact on

@@ -33,31 +33,39 @@ import jax.numpy as jnp
 
 
 def device_seconds_per_iter(
-    body: Callable[[jnp.ndarray, jnp.ndarray], jnp.ndarray],
+    body: Callable[..., jnp.ndarray],
     x: jnp.ndarray,
     iters: int = 0,                 # 0 = adaptive (recommended)
     base_iters: int = 2,
     repeats: int = 3,
     min_signal: float = 0.25,       # seconds the measured diff must reach
     max_iters: int = 8192,
+    operands: tuple = (),
 ) -> float:
-    """Mean device seconds per execution of ``body(i_f32, x) -> array``.
+    """Mean device seconds per execution of ``body(i_f32, x, *operands)``.
 
     ``body`` receives the float32 loop index; use it to perturb inputs in a
     way XLA cannot hoist out of the loop (index a table with it, shift
     tokens, roll data).  The harness consumes the result with ``jnp.max``.
+
+    ``operands``: large device arrays the body reads (e.g. a moment index)
+    MUST ride here — as jit ARGUMENTS — rather than be closed over: a
+    closed-over array is serialized into the compile request as a program
+    constant, which at 2.1M index rows (~1.07 GB) exceeds this runtime's
+    remote-compile payload limit (HTTP 413; same failure DESIGN 12c fixed
+    in the retriever factories).
     """
 
     @jax.jit
-    def run(x, salt, n):
+    def run(x, salt, n, *ops):
         def step(i, acc):
-            out = body(i.astype(jnp.float32) + salt, x)
+            out = body(i.astype(jnp.float32) + salt, x, *ops)
             return jnp.maximum(acc, jnp.max(out) * 1e-12)
         return jax.lax.fori_loop(0, n, step, jnp.float32(0))
 
     def wall(salt, n):
         t0 = time.perf_counter()
-        float(run(x, jnp.float32(salt), jnp.int32(n)))
+        float(run(x, jnp.float32(salt), jnp.int32(n), *operands))
         return time.perf_counter() - t0
 
     wall(0.125, base_iters)          # compile + warm
