@@ -115,23 +115,26 @@ def part_speed(out, d_coarse=32):
                         "per_query_rate": round(N / sec_full, 1)}
     del m_cat, msq_fused
     ops = (coarse.proj, coarse.m_low, coarse.msq_low,
-           coarse.m_blk, coarse.msq_blk)
-    for C in (1024, 2048, 4096):
-        fn = _coarse_fn(model, K, C, cfg.eval.approx_recall, None,
-                        block_rows=coarse.block_rows)
+           coarse.m_blk, coarse.msq_blk,
+           coarse.c_low, coarse.csq, coarse.perm)
+    for mode in ("blockmax", "centroid"):
+        for C in (1024, 2048, 4096):
+            fn = _coarse_fn(model, K, C, cfg.eval.approx_recall, None,
+                            block_rows=coarse.block_rows, mode=mode)
 
-        def coarse_body(i, toks, *ops):
-            t = 1 + (toks + i.astype(jnp.int32)) % (VOCAB - 1)
-            dists, rows = fn(*ops, params, t, lengths)
-            return dists
+            def coarse_body(i, toks, *ops):
+                t = 1 + (toks + i.astype(jnp.int32)) % (VOCAB - 1)
+                dists, rows = fn(*ops, params, t, lengths)
+                return dists
 
-        sec = device_seconds_per_iter(coarse_body, tokens, operands=ops)
-        res[f"coarse_C{C}"] = {
-            "batch_ms": round(1e3 * sec, 3),
-            "per_query_rate": round(N / sec, 1),
-            "speedup_vs_full": round(sec_full / sec, 2),
-        }
-        print(f"C={C}: {res[f'coarse_C{C}']}", file=sys.stderr, flush=True)
+            sec = device_seconds_per_iter(coarse_body, tokens, operands=ops)
+            res[f"{mode}_C{C}"] = {
+                "batch_ms": round(1e3 * sec, 3),
+                "per_query_rate": round(N / sec, 1),
+                "speedup_vs_full": round(sec_full / sec, 2),
+            }
+            print(f"{mode} C={C}: {res[f'{mode}_C{C}']}",
+                  file=sys.stderr, flush=True)
     out[f"speed_2p1M_rows_d{d_coarse}"] = res
 
 
@@ -228,18 +231,21 @@ def part_recall(out, epochs):
         # NOTE m_cat is unweighted concat; with equal stream weights the
         # energy ratio is exact up to the sqrt(w) scale, which cancels
         energy = low_sq / (0.5 * mt_sq) if mt_sq else 0.0
-        for C in (512, 1024, 2048):
-            two = make_coarse_retriever(model, coarse, K,
-                                        num_candidates=C)
-            _, rows_c = two(params, toks, lens)
-            rows_c = np.asarray(rows_c)
-            rec = {}
-            for kk in (1, 10, 100):
-                hit = [len(set(rows_c[i, :kk]) & set(rows_e[i, :kk])) / kk
-                       for i in range(rows_e.shape[0])]
-                rec[f"recall@{kk}"] = round(float(np.mean(hit)), 4)
-            res["grid"][f"d{d_c}_C{C}"] = rec
-            print(f"d_c={d_c} C={C}: {rec}", file=sys.stderr, flush=True)
+        for mode in ("blockmax", "centroid"):
+            for C in (512, 1024, 2048):
+                two = make_coarse_retriever(model, coarse, K,
+                                            num_candidates=C, mode=mode)
+                _, rows_c = two(params, toks, lens)
+                rows_c = np.asarray(rows_c)
+                rec = {}
+                for kk in (1, 10, 100):
+                    hit = [len(set(rows_c[i, :kk])
+                               & set(rows_e[i, :kk])) / kk
+                           for i in range(rows_e.shape[0])]
+                    rec[f"recall@{kk}"] = round(float(np.mean(hit)), 4)
+                res["grid"][f"{mode}_d{d_c}_C{C}"] = rec
+                print(f"{mode} d_c={d_c} C={C}: {rec}", file=sys.stderr,
+                      flush=True)
         res["grid"][f"d{d_c}_energy"] = round(energy, 4)
     out["recall_trained_210k_rows"] = res
 

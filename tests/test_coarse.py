@@ -71,6 +71,67 @@ class TestFullRankParity:
                                    rtol=1e-4, atol=1e-4)
         assert (np.sort(np.asarray(r_c), 1) == np.sort(np.asarray(r_e), 1)).mean() > 0.99
 
+    def test_centroid_mode_full_quota_identical(self, setup):
+        """mode='centroid' with g >= G gathers EVERY block, so stage-1
+        ordering is irrelevant and the result equals the exact retriever
+        (also exercises the perm row mapping end to end)."""
+        cfg, model, params, ds, index, toks, lens = setup
+        D = int(index.m.shape[0] * index.m.shape[2])
+        coarse = build_coarse_index(index, d_coarse=D,
+                                    store_dtype=jnp.float32)
+        k = 10
+        exact = make_retriever(model, index, k, topk_method="exact")
+        two = make_coarse_retriever(model, coarse, k,
+                                    num_candidates=8 * index.num_rows,
+                                    mode="centroid")
+        d_e, r_e = exact(params, toks, lens)
+        d_c, r_c = two(params, toks, lens)
+        np.testing.assert_allclose(np.sort(np.asarray(d_c), 1),
+                                   np.sort(np.asarray(d_e), 1),
+                                   rtol=1e-4, atol=1e-4)
+        assert (np.sort(np.asarray(r_c), 1)
+                == np.sort(np.asarray(r_e), 1)).mean() > 0.99
+
+    def test_centroid_mode_small_quota_recall(self):
+        """At a small block budget the bisection-packed centroids must
+        still put the true top-1 row's block in the survivor set for
+        most queries (structured index, like trained embeddings).  Drives
+        stage 1 + the perm mapping directly (no query tower)."""
+        rng = np.random.default_rng(7)
+        m, m_sq = TestLowRankRecall._structured_index(
+            TestLowRankRecall(), N=4096)
+        idx = MomentIndex(
+            m=jnp.asarray(m), m_sq=jnp.asarray(m_sq),
+            video_row=np.arange(m.shape[1], dtype=np.int32),
+            prop_idx=np.zeros(m.shape[1], np.int32),
+            spans_sec=np.zeros((m.shape[1], 2), np.float32),
+            weights=np.array([1.0, 1.0], np.float32),
+        )
+        S, N, d = m.shape
+        q = m[:, rng.integers(0, N, 32)] + 0.02 * rng.standard_normal(
+            (S, 32, d)).astype(np.float32)
+        from vfr_tpu.parallel.sharding import fused_corpus_distances
+        Dmat = np.asarray(fused_corpus_distances(
+            jnp.asarray(q), idx.m, idx.m_sq, jnp.asarray(idx.weights)))
+        true1 = np.argmin(Dmat, axis=1)
+
+        coarse = build_coarse_index(idx, d_coarse=8)
+        # stage 1: centroid scores in PCA space (weights 1 -> q_t = concat)
+        q_t = np.concatenate([q[s] for s in range(S)], axis=-1)
+        q_low = q_t @ np.asarray(coarse.proj)
+        sb = 2.0 * q_low @ np.asarray(coarse.c_low).T \
+            - np.asarray(coarse.csq)[None, :]
+        g = 4                                   # 4 blocks = 512 rows of 4096
+        top_blocks = np.argsort(-sb, axis=1)[:, :g]
+        perm = np.asarray(coarse.perm)
+        B = coarse.block_rows
+        hit = np.mean([
+            true1[i] in perm[(top_blocks[i][:, None] * B
+                              + np.arange(B)[None, :]).ravel()]
+            for i in range(q.shape[1])
+        ])
+        assert hit >= 0.8, hit
+
 
 class TestLowRankRecall:
     def _structured_index(self, N=4096, D=48, rank=6, seed=0):
@@ -121,7 +182,9 @@ class TestLowRankRecall:
             - coarse.msq_low[None, :]
         C = 128
         _, cand = jax.lax.top_k(s_low, C)
-        cand = np.asarray(cand)
+        # m_low rows live in the bisection-permuted layout; map candidate
+        # POSITIONS back to original index rows like the retriever does
+        cand = np.asarray(coarse.perm)[np.asarray(cand)]
         hit = np.array([
             len(set(cand[i]) & set(true_top[i])) / k
             for i in range(cand.shape[0])

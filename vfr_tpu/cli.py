@@ -89,6 +89,11 @@ def build_parser() -> argparse.ArgumentParser:
                         "full scan)")
     c.add_argument("--coarse-candidates", type=int, default=None,
                    help="stage-1 survivors per query for --coarse-dim")
+    c.add_argument("--coarse-mode", choices=["blockmax", "centroid"],
+                   default=None,
+                   help="stage-1 selection: exact per-block maxima "
+                        "(blockmax) or IVF-style centroid ranking "
+                        "(centroid, ~128x cheaper stage 1)")
 
     s = sub.add_parser("serve", help="answer free-text queries against the "
                        "cached moment index (one JSON line per query)")
@@ -108,11 +113,17 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("--coarse-path", default=None,
                    help="load a prebuilt coarse (PCA prefilter) index and "
                         "serve through the two-stage coarse-to-fine "
-                        "retriever — for corpora past ~1M rows where "
-                        "streaming the full index per batch is the wall")
+                        "retriever — OPT-IN recall/bytes trade: up to "
+                        "1.86x the exact scan at 2.1M rows but with "
+                        "measured recall cost (artifacts/"
+                        "coarse_scale.json, DESIGN 21); the exact scan "
+                        "is the recommended default at every scale")
     s.add_argument("--coarse-dim", type=int, default=None,
                    help="build the coarse prefilter in-process at this "
                         "rank (alternative to --coarse-path)")
+    s.add_argument("--coarse-mode", choices=["blockmax", "centroid"],
+                   default="blockmax",
+                   help="stage-1 selection for the coarse path")
     s.add_argument("--coarse-candidates", type=int, default=2048,
                    help="stage-1 survivors per query re-scored exactly in "
                         "stage 2 (recall rises with it; stage-2 bytes "
@@ -202,6 +213,9 @@ def apply_overrides(cfg, args):
     if args.cmd == "corpus" and getattr(args, "coarse_candidates",
                                         None) is not None:
         ekw["coarse_candidates"] = args.coarse_candidates
+    if args.cmd == "corpus" and getattr(args, "coarse_mode",
+                                        None) is not None:
+        ekw["coarse_mode"] = args.coarse_mode
     if getattr(args, "bank_dtype", None) is not None:
         ekw["bank_dtype"] = args.bank_dtype
     if ekw:
@@ -324,7 +338,8 @@ def main(argv=None) -> int:
             coarse = load_coarse(args.coarse_path, index)
         coarse_kw = dict(coarse=coarse,
                          coarse_dim=args.coarse_dim or 0,
-                         coarse_candidates=args.coarse_candidates)
+                         coarse_candidates=args.coarse_candidates,
+                         coarse_mode=args.coarse_mode)
 
         if args.follow:
             import contextlib

@@ -176,12 +176,18 @@ class EvalConfig:
     # banks built inside evaluate() when none are passed in.
     bank_dtype: str = "float32"
     # Coarse-to-fine two-stage retrieval (eval/coarse.py): 0 = full scan
-    # (exact one-matmul score stage); >0 = PCA-prefilter rank.  Measured
-    # at 210k rows (trained embeddings): d=64 / C=1024 keeps recall@1 =
-    # 1.0, recall@100 = 0.97 vs exact (artifacts/coarse_scale.json); the
-    # win is HBM bytes at >=1M-row corpora.
+    # (exact one-matmul score stage, the recommended default at every
+    # scale — DESIGN 21); >0 = PCA-prefilter rank, opt-in.  Measured
+    # trade-offs (recall grids + 2.1M-row timings) live in
+    # artifacts/coarse_scale.json — block-granularity candidate sets cost
+    # real recall on trained embeddings (blockmax d64/C2048: recall@1
+    # 0.91, recall@10 0.55 vs exact), so only deployments that can trade
+    # recall for HBM bytes should turn this on.  coarse_mode: "blockmax"
+    # (exact per-block stage-1 maxima, better recall) or "centroid"
+    # (IVF-style fixed-size cells, stage 1 ~N/128 cheaper, weaker recall).
     coarse_dim: int = 0
     coarse_candidates: int = 2048
+    coarse_mode: str = "blockmax"
 
 
 @dataclass(frozen=True)

@@ -72,6 +72,7 @@ from vfr_tpu.eval.corpus import (
 )
 from vfr_tpu.models.mcn import Model
 from vfr_tpu.ops.pallas.coarse_kernel import (
+    KERNEL_BLOCK_N,
     coarse_blockmax,
     coarse_blockmax_reference,
 )
@@ -92,6 +93,14 @@ class CoarseIndex:
     # one-matmul layout; Npad = G * block_rows)
     m_blk: jnp.ndarray     # [G, block_rows * D] storage dtype
     msq_blk: jnp.ndarray   # [G, block_rows] f32, +1e30 on invalid/pad rows
+    # per-block centroids in PCA space (stage-1 "centroid" mode: rank
+    # blocks by distance to centroid — IVF cells of FIXED size)
+    c_low: jnp.ndarray     # [G, d_c] f32
+    csq: jnp.ndarray       # [G] f32 |c|^2, +1e30 on all-pad blocks
+    # row permutation applied to every blocked operand: operand row i is
+    # original index row perm[i] (PCA-bisection packing so each block is
+    # spatially coherent; identity when built with reorder=False)
+    perm: jnp.ndarray      # [Npad] int32
     n_rows: int            # REAL (unpadded) row count
     block_rows: int = BLOCK_ROWS
 
@@ -128,12 +137,53 @@ def _pad_rows(x: jnp.ndarray, n_pad: int, fill: float = 0.0) -> jnp.ndarray:
     return jnp.pad(x, widths, constant_values=fill)
 
 
+def _row_alignment(N: int, block_rows: int) -> int:
+    """Row padding granularity: align to the stage-1 kernel tile so the
+    kernel never pads internally (its fallback ``jnp.pad`` copies the
+    whole 100+ MB operand in HBM EVERY call — measured +1.9 ms/batch at
+    2.1M rows before build-time alignment)."""
+    return KERNEL_BLOCK_N if N >= KERNEL_BLOCK_N else block_rows
+
+
+def _bisection_perm(x: np.ndarray, block_rows: int) -> np.ndarray:
+    """Recursive PCA-space bisection -> a row permutation that packs
+    spatially coherent FIXED-SIZE blocks (host-side, build time).
+
+    At each node, rows are split on their widest-variance coordinate at a
+    block-aligned median; leaves are exactly ``block_rows`` rows (the last
+    may be short).  This is a kd-tree packing rather than k-means: it
+    guarantees balanced cells (so stage 2 stays a dense fixed-shape
+    gather) at a few argsorts of build cost, and cell coherence only
+    affects RECALL, never correctness (stage 2 rescores exactly).
+    """
+    N, _ = x.shape
+    out = np.empty(N, np.int64)
+    pos = 0
+    stack = [np.arange(N)]
+    while stack:
+        ids = stack.pop()
+        n = len(ids)
+        if n <= block_rows:
+            out[pos:pos + n] = ids
+            pos += n
+            continue
+        sub = x[ids]
+        dim = int(np.argmax(sub.var(axis=0)))
+        order = ids[np.argsort(sub[:, dim], kind="stable")]
+        h = max(block_rows, (n // (2 * block_rows)) * block_rows)
+        stack.append(order[h:])
+        stack.append(order[:h])
+    assert pos == N
+    return out
+
+
 def build_coarse_index(
     index: MomentIndex,
     d_coarse: int = 32,
     store_dtype=jnp.bfloat16,
     chunk: int = 262_144,
     block_rows: int = BLOCK_ROWS,
+    reorder: bool = True,
 ) -> CoarseIndex:
     """PCA prefilter over the fused-distance space (device matmuls + one
     host eigh of a [D, D] matrix).  Must run while ``index.m`` is still
@@ -188,20 +238,63 @@ def build_coarse_index(
         lo, sq = _project(mt[s:e], jnp.asarray(valid_np[s:e]))
         lows.append(lo)
         sqs.append(sq)
+    del mt
 
-    n_pad = (-N) % block_rows
-    m_low = _pad_rows(jnp.concatenate(lows, axis=0), n_pad)
-    msq_low = _pad_rows(jnp.concatenate(sqs, axis=0), n_pad, 1e30)
+    m_low = jnp.concatenate(lows, axis=0)
+    msq_low = jnp.concatenate(sqs, axis=0)
+
+    # row permutation: coherent blocks via PCA bisection of the VALID
+    # rows (invalid rows sink to the end, ahead of alignment pads)
+    if reorder:
+        x = np.asarray(m_low, np.float32)
+        valid_ids = np.nonzero(valid_np)[0]
+        packed = valid_ids[_bisection_perm(x[valid_ids], block_rows)]
+        perm_np = np.concatenate(
+            [packed, np.nonzero(~valid_np)[0]]).astype(np.int32)
+        del x
+    else:
+        perm_np = np.arange(N, dtype=np.int32)
+
+    n_pad = (-N) % _row_alignment(N, block_rows)
+    perm_dev = jnp.asarray(perm_np)
+    m_low = _pad_rows(jnp.take(m_low, perm_dev, axis=0), n_pad)
+    msq_low = _pad_rows(jnp.take(msq_low, perm_dev, axis=0), n_pad, 1e30)
+    perm = jnp.asarray(
+        np.concatenate([perm_np,
+                        np.arange(N, N + n_pad, dtype=np.int32)]))
 
     m_cat, msq_fused = fuse_index_cat(index.m, index.m_sq, index.weights)
     G = (N + n_pad) // block_rows
-    m_blk = _pad_rows(jax.device_put(m_cat), n_pad).reshape(
-        G, block_rows * D)
-    msq_blk = _pad_rows(jax.device_put(msq_fused), n_pad, 1e30).reshape(
-        G, block_rows)
+    m_blk = _pad_rows(
+        jnp.take(jax.device_put(m_cat), perm_dev, axis=0), n_pad
+    ).reshape(G, block_rows * D)
+    msq_blk = _pad_rows(
+        jnp.take(jax.device_put(msq_fused), perm_dev, axis=0), n_pad, 1e30
+    ).reshape(G, block_rows)
+    c_low, csq = _block_centroids(m_low, msq_low, G, block_rows)
     return CoarseIndex(proj=proj, m_low=m_low, msq_low=msq_low,
-                       m_blk=m_blk, msq_blk=msq_blk, n_rows=N,
+                       m_blk=m_blk, msq_blk=msq_blk,
+                       c_low=c_low, csq=csq, perm=perm, n_rows=N,
                        block_rows=block_rows)
+
+
+@jax.jit
+def _centroid_kernel(m_low, msq_low):
+    G, B, _ = m_low.shape
+    v = (msq_low < _INVALID).astype(jnp.float32)          # [G, B]
+    sums = jnp.sum(m_low.astype(jnp.float32) * v[..., None], axis=1)
+    cnt = jnp.sum(v, axis=1)                              # [G]
+    c = sums / jnp.maximum(cnt, 1.0)[:, None]
+    csq = jnp.sum(c * c, axis=-1) + jnp.where(cnt == 0, 1e30, 0.0)
+    return c, csq
+
+
+def _block_centroids(m_low, msq_low, G: int, block_rows: int):
+    """Masked per-block means of the projected rows (+1e30 csq on all-pad
+    blocks so centroid-mode stage 1 can never pick them)."""
+    d_c = m_low.shape[1]
+    return _centroid_kernel(m_low.reshape(G, block_rows, d_c),
+                            msq_low.reshape(G, block_rows))
 
 
 def save_coarse(coarse: CoarseIndex, path: str) -> str:
@@ -217,6 +310,9 @@ def save_coarse(coarse: CoarseIndex, path: str) -> str:
     np.savez(path, proj=np.asarray(coarse.proj, np.float32),
              m_low=m_store, m_dtype=np.asarray(m_dtype),
              msq_low=np.asarray(coarse.msq_low, np.float32),
+             c_low=np.asarray(coarse.c_low, np.float32),
+             csq=np.asarray(coarse.csq, np.float32),
+             perm=np.asarray(coarse.perm, np.int32),
              n_rows=np.asarray(coarse.n_rows),
              block_rows=np.asarray(coarse.block_rows))
     return path
@@ -233,6 +329,9 @@ def load_coarse(path: str, index: MomentIndex) -> CoarseIndex:
                  else jnp.asarray(z["m_low"], jnp.float32))
         proj = jnp.asarray(z["proj"], jnp.float32)
         msq_low = jnp.asarray(z["msq_low"], jnp.float32)
+        c_low = jnp.asarray(z["c_low"], jnp.float32)
+        csq = jnp.asarray(z["csq"], jnp.float32)
+        perm_np = z["perm"].astype(np.int32)
         n_rows = int(z["n_rows"])
         block_rows = int(z["block_rows"])
     if n_rows != index.num_rows:
@@ -241,15 +340,19 @@ def load_coarse(path: str, index: MomentIndex) -> CoarseIndex:
             f"index has {index.num_rows}: built from a different corpus")
     D = int(index.m.shape[0] * index.m.shape[2])
     m_cat, msq_fused = fuse_index_cat(index.m, index.m_sq, index.weights)
-    n_pad = (-n_rows) % block_rows
+    n_pad = int(m_low.shape[0]) - n_rows      # alignment chosen at build
     G = (n_rows + n_pad) // block_rows
-    m_blk = _pad_rows(jax.device_put(m_cat), n_pad).reshape(
-        G, block_rows * D)
-    msq_blk = _pad_rows(jax.device_put(msq_fused), n_pad, 1e30).reshape(
-        G, block_rows)
+    perm_dev = jnp.asarray(perm_np[:n_rows])  # stage-2 rows re-permuted
+    m_blk = _pad_rows(
+        jnp.take(jax.device_put(m_cat), perm_dev, axis=0), n_pad
+    ).reshape(G, block_rows * D)
+    msq_blk = _pad_rows(
+        jnp.take(jax.device_put(msq_fused), perm_dev, axis=0), n_pad, 1e30
+    ).reshape(G, block_rows)
     return CoarseIndex(proj=proj, m_low=m_low, msq_low=msq_low,
-                       m_blk=m_blk, msq_blk=msq_blk, n_rows=n_rows,
-                       block_rows=block_rows)
+                       m_blk=m_blk, msq_blk=msq_blk,
+                       c_low=c_low, csq=csq, perm=jnp.asarray(perm_np),
+                       n_rows=n_rows, block_rows=block_rows)
 
 
 def _num_blocks(num_candidates: int, block_rows: int, G: int) -> int:
@@ -263,12 +366,8 @@ def _blockmax(q_low, m_low, msq_low, block_rows: int):
     ~0.2 at 2.1M rows), jnp twin elsewhere (CPU harness, interpret-free).
     """
     if jax.default_backend() == "tpu":
-        N = m_low.shape[0]
-        # VMEM budget: the [bn, bq] f32 score tile dominates (8192 x 128
-        # x 4 B = 4 MB); N is always a block_rows multiple here
-        bn = min(8192, N)
         return coarse_blockmax(q_low, m_low, msq_low,
-                               block_rows=block_rows, block_n=bn)
+                               block_rows=block_rows)
     return coarse_blockmax_reference(q_low, m_low, msq_low,
                                      block_rows=block_rows)
 
@@ -280,6 +379,7 @@ def make_coarse_retriever(
     num_candidates: int = 2048,
     approx_recall: float = 0.95,   # kept for API parity; stage 1 is exact
     rnn_kernel: Optional[str] = None,
+    mode: str = "blockmax",
 ):
     """Jitted ``(params, tokens, lengths) -> (dists [Q, k], rows [Q, k])``
     — same contract as ``make_retriever``; distances are EXACT fused
@@ -290,25 +390,27 @@ def make_coarse_retriever(
     to whole ``block_rows`` blocks (g = ceil(C / B) blocks, all of whose
     rows are rescored exactly).  Recall@k of the two-stage result vs the
     exact retriever rises with it; bytes gathered in stage 2 scale
-    linearly with it.  Measured trade-offs live in docs/DESIGN.md (coarse
-    entry) / artifacts/coarse_scale.json.
+    linearly with it.  ``mode``: see ``_coarse_fn``.  Measured trade-offs
+    live in docs/DESIGN.md (coarse entry) / artifacts/coarse_scale.json.
     """
     g = _num_blocks(num_candidates, coarse.block_rows, coarse.num_blocks)
     k = int(min(k, coarse.num_rows, g * coarse.block_rows))
 
     cache_key = ("coarse_retrieve", _query_model_key(model), k, g,
-                 rnn_kernel, coarse.d_coarse, coarse.block_rows,
+                 rnn_kernel, coarse.d_coarse, coarse.block_rows, mode,
                  tuple(np.asarray(model.cfg.stream_weights).tolist()))
     _retrieve = _JIT_CACHE.get(cache_key)
     if _retrieve is None:
         _retrieve = jax.jit(
             _coarse_fn(model, k, g * coarse.block_rows, approx_recall,
-                       rnn_kernel, block_rows=coarse.block_rows))
+                       rnn_kernel, block_rows=coarse.block_rows,
+                       mode=mode))
         _JIT_CACHE[cache_key] = _retrieve
 
     def retrieve(params, tokens, lengths):
         return _retrieve(coarse.proj, coarse.m_low, coarse.msq_low,
                          coarse.m_blk, coarse.msq_blk,
+                         coarse.c_low, coarse.csq, coarse.perm,
                          params, tokens, lengths)
 
     return retrieve
@@ -321,6 +423,7 @@ def make_coarse_score_topk(
     num_candidates: int = 2048,
     approx_recall: float = 0.95,
     rnn_kernel: Optional[str] = None,
+    mode: str = "blockmax",
 ):
     """Un-jitted per-batch body with operands bound (the coarse twin of
     ``make_score_topk``): ``(params, tokens, lengths) -> (dists, rows)``.
@@ -329,11 +432,13 @@ def make_coarse_score_topk(
     g = _num_blocks(num_candidates, coarse.block_rows, coarse.num_blocks)
     k = int(min(k, coarse.num_rows, g * coarse.block_rows))
     fn = _coarse_fn(model, k, g * coarse.block_rows, approx_recall,
-                    rnn_kernel, block_rows=coarse.block_rows)
+                    rnn_kernel, block_rows=coarse.block_rows, mode=mode)
 
     def score_topk(params, tokens, lengths):
         return fn(coarse.proj, coarse.m_low, coarse.msq_low,
-                  coarse.m_blk, coarse.msq_blk, params, tokens, lengths)
+                  coarse.m_blk, coarse.msq_blk,
+                  coarse.c_low, coarse.csq, coarse.perm,
+                  params, tokens, lengths)
 
     return score_topk
 
@@ -345,6 +450,7 @@ def make_coarse_stream_retriever(
     num_candidates: int = 2048,
     approx_recall: float = 0.95,
     rnn_kernel: Optional[str] = None,
+    mode: str = "blockmax",
 ):
     """Throughput serving through the two-stage retriever: MANY query
     batches per dispatch via ``lax.scan`` (the coarse twin of
@@ -354,21 +460,21 @@ def make_coarse_stream_retriever(
     g = _num_blocks(num_candidates, coarse.block_rows, coarse.num_blocks)
     k = int(min(k, coarse.num_rows, g * coarse.block_rows))
     fn = _coarse_fn(model, k, g * coarse.block_rows, approx_recall,
-                    rnn_kernel, block_rows=coarse.block_rows)
+                    rnn_kernel, block_rows=coarse.block_rows, mode=mode)
 
     cache_key = ("coarse_stream", _query_model_key(model), k, g,
-                 rnn_kernel, coarse.d_coarse, coarse.block_rows,
+                 rnn_kernel, coarse.d_coarse, coarse.block_rows, mode,
                  tuple(np.asarray(model.cfg.stream_weights).tolist()))
     _retrieve = _JIT_CACHE.get(cache_key)
     if _retrieve is None:
 
         @jax.jit
-        def _retrieve(proj, m_low, msq_low, m_blk, msq_blk,
-                      params, tokens, lengths):
+        def _retrieve(proj, m_low, msq_low, m_blk, msq_blk, c_low, csq,
+                      perm, params, tokens, lengths):
             def body(carry, batch):
                 toks, lens = batch
                 return carry, fn(proj, m_low, msq_low, m_blk, msq_blk,
-                                 params, toks, lens)
+                                 c_low, csq, perm, params, toks, lens)
 
             _, (dists, rows) = jax.lax.scan(body, 0, (tokens, lengths))
             return dists, rows
@@ -378,6 +484,7 @@ def make_coarse_stream_retriever(
     def retrieve_stream(params, tokens, lengths):
         return _retrieve(coarse.proj, coarse.m_low, coarse.msq_low,
                          coarse.m_blk, coarse.msq_blk,
+                         coarse.c_low, coarse.csq, coarse.perm,
                          params, tokens, lengths)
 
     return retrieve_stream
@@ -391,6 +498,7 @@ def pad_coarse_blocks(coarse: CoarseIndex, multiple: int) -> CoarseIndex:
     if rem == 0:
         return coarse
     B = coarse.block_rows
+    Npad = int(coarse.m_low.shape[0])
     return CoarseIndex(
         proj=coarse.proj,
         m_low=_pad_rows(coarse.m_low, rem * B),
@@ -398,6 +506,11 @@ def pad_coarse_blocks(coarse: CoarseIndex, multiple: int) -> CoarseIndex:
         m_blk=_pad_rows(coarse.m_blk, rem),
         msq_blk=jnp.concatenate(
             [coarse.msq_blk, jnp.full((rem, B), 1e30, jnp.float32)]),
+        c_low=_pad_rows(coarse.c_low, rem),
+        csq=_pad_rows(coarse.csq, rem, 1e30),
+        perm=jnp.concatenate(
+            [coarse.perm,
+             jnp.arange(Npad, Npad + rem * B, dtype=jnp.int32)]),
         n_rows=coarse.n_rows,
         block_rows=B,
     )
@@ -412,6 +525,7 @@ def make_sharded_coarse_retriever(
     axis: str = "corpus",
     approx_recall: float = 0.95,
     rnn_kernel: Optional[str] = None,
+    mode: str = "blockmax",
 ):
     """Two-stage retrieval with ALL block-indexed operands sharded over
     the corpus ICI axis.  Each device runs stage 1 over its local blocks,
@@ -447,14 +561,21 @@ def make_sharded_coarse_retriever(
     msq_low = jax.device_put(coarse.msq_low, sh_vec)
     m_blk = jax.device_put(coarse.m_blk, sh_rows)
     msq_blk = jax.device_put(coarse.msq_blk, sh_rows)
+    c_low = jax.device_put(coarse.c_low, sh_rows)
+    csq = jax.device_put(coarse.csq, sh_vec)
+    perm = jax.device_put(coarse.perm)     # replicated (row-id map)
     proj = jax.device_put(coarse.proj)
 
-    def body(qs, proj, m_low_loc, msq_low_loc, mblk_loc, msqb_loc):
+    def body(qs, proj, m_low_loc, msq_low_loc, mblk_loc, msqb_loc,
+             c_low_loc, csq_loc):
         S = qs.shape[0]
         q_t = jnp.concatenate(
             [qs[s] * sqrt_w[s] for s in range(S)], axis=-1)
         q_low = (q_t @ proj).astype(jnp.float32)
-        sb = _blockmax(q_low, m_low_loc, msq_low_loc, B)   # [Q, G_loc]
+        if mode == "centroid":
+            sb = (2.0 * q_low) @ c_low_loc.T - csq_loc[None, :]
+        else:
+            sb = _blockmax(q_low, m_low_loc, msq_low_loc, B)   # [Q, G_loc]
         _, blk = jax.lax.top_k(sb, g_loc)                  # [Q, g_loc]
         Q = q_low.shape[0]
         mb = jnp.take(mblk_loc, blk, axis=0)               # [Q,g,B*D]
@@ -481,7 +602,7 @@ def make_sharded_coarse_retriever(
     sharded = jax.shard_map(
         body, mesh=mesh,
         in_specs=(P_(), P_(), P_(axis, None), P_(axis), P_(axis, None),
-                  P_(axis, None)),
+                  P_(axis, None), P_(axis, None), P_(axis)),
         out_specs=(P_(), P_()),
         # post-all_gather merge is replicated; the static check can't see
         # it (same rationale as sharded_corpus_topk_cat)
@@ -489,26 +610,39 @@ def make_sharded_coarse_retriever(
     )
 
     @jax.jit
-    def _retrieve(proj, m_low, msq_low, m_blk, msq_blk,
+    def _retrieve(proj, m_low, msq_low, m_blk, msq_blk, c_low, csq, perm,
                   params, tokens, lengths):
         qs = _embed_query_streams(params, model, tokens, lengths, rnn_kernel)
-        return sharded(qs, proj, m_low, msq_low, m_blk, msq_blk)
+        dists, rows = sharded(qs, proj, m_low, msq_low, m_blk, msq_blk,
+                              c_low, csq)
+        return dists, jnp.take(perm, rows)     # back to ORIGINAL rows
 
     def retrieve(params, tokens, lengths):
         return _retrieve(proj, m_low, msq_low, m_blk, msq_blk,
-                         params, tokens, lengths)
+                         c_low, csq, perm, params, tokens, lengths)
 
     return retrieve
 
 
 def _coarse_fn(model: Model, k: int, C: int, approx_recall: float,
-               rnn_kernel: Optional[str], block_rows: int = BLOCK_ROWS):
+               rnn_kernel: Optional[str], block_rows: int = BLOCK_ROWS,
+               mode: str = "blockmax"):
     """The two-stage retrieval math with every index operand an explicit
     argument (jit-argument convention, DESIGN 12c — captured index
     constants ship with the executable).  ``C`` is the candidate budget in
     rows and must be a ``block_rows`` multiple (g = C / block_rows blocks).
+
+    ``mode`` selects stage 1:
+
+    * ``"blockmax"`` — exact per-block max of row-level coarse scores
+      (Pallas stream over [N, d_c]; highest recall, cost grows with N:
+      0.76 ms at 2.1M rows).
+    * ``"centroid"`` — rank blocks by distance to their centroid (IVF
+      with fixed-size cells; ONE [Q, d_c] x [d_c, G] matmul, ~N/B times
+      cheaper; recall relies on the build-time bisection packing).
     """
     assert C % block_rows == 0
+    assert mode in ("blockmax", "centroid"), mode
     g = C // block_rows
     # sqrt-weight fold for stage 1 (m_tilde space); stage 2 uses the
     # standard one-matmul scaled-query layout
@@ -516,7 +650,8 @@ def _coarse_fn(model: Model, k: int, C: int, approx_recall: float,
     sqrt_w = np.sqrt(w.astype(np.float64)).astype(np.float32)
     w_jnp = jnp.asarray(w)
 
-    def fn(proj, m_low, msq_low, m_blk, msq_blk, params, tokens, lengths):
+    def fn(proj, m_low, msq_low, m_blk, msq_blk, c_low, csq, perm,
+           params, tokens, lengths):
         qs = _embed_query_streams(params, model, tokens, lengths,
                                   rnn_kernel)                     # [S, Q, d]
         S = qs.shape[0]
@@ -525,8 +660,12 @@ def _coarse_fn(model: Model, k: int, C: int, approx_recall: float,
         q_t = jnp.concatenate(
             [qs[s] * sqrt_w[s] for s in range(S)], axis=-1)       # [Q, D]
         q_low = (q_t @ proj).astype(jnp.float32)
-        # stage 1: stream [N, d_c] once, per-block maxima [Q, G]
-        sb = _blockmax(q_low, m_low, msq_low, block_rows)
+        if mode == "centroid":
+            # stage 1: one tiny matmul over G centroids
+            sb = (2.0 * q_low) @ c_low.T - csq[None, :]           # [Q, G]
+        else:
+            # stage 1: stream [N, d_c] once, per-block maxima [Q, G]
+            sb = _blockmax(q_low, m_low, msq_low, block_rows)
         _, blk = jax.lax.top_k(sb, min(g, sb.shape[1]))           # [Q, g]
         g_eff = blk.shape[1]
         # stage 2: gather surviving blocks' full rows, exact rescoring
@@ -543,6 +682,7 @@ def _coarse_fn(model: Model, k: int, C: int, approx_recall: float,
                      + jnp.arange(block_rows)[None, None, :]
                      ).reshape(Q, g_eff * block_rows)
         rows = jnp.take_along_axis(cand_rows, pos, axis=1)
+        rows = jnp.take(perm, rows)        # back to ORIGINAL index rows
         dists = query_sq_const(qs, w_jnp)[:, None] - vals
         return dists, rows
 

@@ -669,6 +669,7 @@ def serve_queries(
     index_dtype: str = "float32",
     index: Optional[MomentIndex] = None,
     coarse=None, coarse_dim: int = 0, coarse_candidates: int = 2048,
+    coarse_mode: str = "blockmax",
 ):
     """Large-scale serving (BASELINE.json:11): answer free-text queries
     against the cached moment index; returns a list of
@@ -726,7 +727,7 @@ def serve_queries(
             retrieve = make_sharded_coarse_retriever(
                 model, coarse, k_eff, mesh,
                 num_candidates=coarse_candidates,
-                approx_recall=approx_recall)
+                approx_recall=approx_recall, mode=coarse_mode)
             d_list, r_list = [], []
             for b in range(M):
                 d, r = retrieve(params, jnp.asarray(toks_all[b]),
@@ -737,14 +738,14 @@ def serve_queries(
         elif M > 1:
             retrieve_stream = make_coarse_stream_retriever(
                 model, coarse, k_eff, num_candidates=coarse_candidates,
-                approx_recall=approx_recall)
+                approx_recall=approx_recall, mode=coarse_mode)
             d_all, rows_all = retrieve_stream(
                 params, jnp.asarray(toks_all), jnp.asarray(lens_all))
             d_all, rows_all = np.asarray(d_all), np.asarray(rows_all)
         else:
             retrieve = make_coarse_retriever(
                 model, coarse, k_eff, num_candidates=coarse_candidates,
-                approx_recall=approx_recall)
+                approx_recall=approx_recall, mode=coarse_mode)
             d, r = retrieve(params, jnp.asarray(toks_all[0]),
                             jnp.asarray(lens_all[0]))
             d_all, rows_all = np.asarray(d)[None], np.asarray(r)[None]
@@ -807,6 +808,7 @@ def serve_follow(
     mesh: Optional[jax.sharding.Mesh] = None,
     pipeline_depth: int = 2,
     coarse=None, coarse_dim: int = 0, coarse_candidates: int = 2048,
+    coarse_mode: str = "blockmax",
 ):
     """Daemon serving: answer an ITERATOR of query strings, yielding one
     result record per query in input order (the `serve --follow` CLI mode).
@@ -858,12 +860,12 @@ def serve_follow(
             retrieve = make_sharded_coarse_retriever(
                 model, coarse, min(k, index.num_rows), mesh,
                 num_candidates=coarse_candidates,
-                approx_recall=approx_recall)
+                approx_recall=approx_recall, mode=coarse_mode)
         else:
             retrieve = make_coarse_retriever(
                 model, coarse, min(k, index.num_rows),
                 num_candidates=coarse_candidates,
-                approx_recall=approx_recall)
+                approx_recall=approx_recall, mode=coarse_mode)
     else:
         retrieve = make_retriever(model, index, min(k, index.num_rows),
                                   mesh=mesh,
@@ -1063,12 +1065,14 @@ def corpus_evaluate(
                 model, coarse, kmax, mesh,
                 num_candidates=ecfg.coarse_candidates,
                 approx_recall=ecfg.approx_recall,
+                mode=getattr(ecfg, "coarse_mode", "blockmax"),
                 rnn_kernel=rnn_kernel)
         else:
             retrieve = make_coarse_retriever(
                 model, coarse, kmax,
                 num_candidates=ecfg.coarse_candidates,
                 approx_recall=ecfg.approx_recall,
+                mode=getattr(ecfg, "coarse_mode", "blockmax"),
                 rnn_kernel=rnn_kernel)
     else:
         retrieve = make_retriever(model, index, kmax, mesh=mesh,
