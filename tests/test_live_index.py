@@ -1,0 +1,284 @@
+"""Online corpus growth (eval/live.py): append == rebuild, in place,
+with ZERO retriever recompiles."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from vfr_tpu.config import (
+    DataConfig,
+    EvalConfig,
+    ExperimentConfig,
+    ModelConfig,
+    TrainConfig,
+)
+from vfr_tpu.data.didemo import DidemoDataset
+from vfr_tpu.data.synthetic import make_didemo_fixture
+from vfr_tpu.eval.corpus import _JIT_CACHE, build_moment_index, make_retriever
+from vfr_tpu.eval.live import (
+    delta_corpus,
+    live_append,
+    load_delta_npz,
+    make_live_index,
+    make_live_retriever,
+)
+from vfr_tpu.models.build import build_model
+from vfr_tpu.models.mcn import init_model_params
+
+F, E = 32, 16
+
+
+def _dataset(num_videos, seed, prefix="vid"):
+    fix = make_didemo_fixture(num_videos=num_videos, num_queries=32,
+                              feature_dim=F, glove_dim=E, seed=seed)
+    cfg = ExperimentConfig(
+        name="live",
+        data=DataConfig(feature_dim=F, glove_dim=E, use_flow=True),
+        model=ModelConfig(joint_dim=16, lstm_hidden=16,
+                          stream_weights=(0.5, 0.5)),
+        train=TrainConfig(),
+        eval=EvalConfig(),
+    )
+    ds = DidemoDataset(fix.annotations, fix.rgb, fix.flow, fix.vocab,
+                       cfg.data)
+    if prefix != "vid":
+        # re-key the corpus so two fixtures never collide on video ids
+        ds.video_ids = [v.replace("vid", prefix) for v in ds.video_ids]
+    return cfg, ds, fix
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg, ds, fix = _dataset(12, seed=0)
+    model = build_model(cfg)
+    params = init_model_params(jax.random.PRNGKey(0), model, fix.glove, F)
+    _, ds2, _ = _dataset(5, seed=7, prefix="new")
+    batch = next(ds.eval_batches(8))
+    toks = jnp.asarray(batch["tokens"])
+    lens = jnp.asarray(batch["lengths"])
+    return cfg, model, params, ds, ds2, toks, lens
+
+
+class TestLiveAppend:
+    def test_append_matches_rebuild(self, setup):
+        """After appending, retrieval over the live arena equals a
+        from-scratch rebuild over the concatenated corpus — row ids
+        included (appends preserve video order)."""
+        cfg, model, params, ds, ds2, toks, lens = setup
+        k = 10
+        live = make_live_index(params, model, ds, capacity_videos=24)
+        n = live_append(live, params, model, ds, ds2.video_ids,
+                        ds2.rgb_feats, ds2.flow_feats)
+        assert n == 5 * ds.num_proposals
+        retrieve = make_live_retriever(model, live, k,
+                                       topk_method="exact")
+        d_live, r_live = retrieve(params, toks, lens)
+
+        # rebuild: one dataset holding both corpora in the same order
+        import types
+
+        both = types.SimpleNamespace(
+            video_ids=list(ds.video_ids) + list(ds2.video_ids),
+            rgb_feats=np.concatenate([ds.rgb_feats, ds2.rgb_feats]),
+            flow_feats=np.concatenate([ds.flow_feats, ds2.flow_feats]),
+            num_proposals=ds.num_proposals,
+            span_seconds=ds.span_seconds,
+        )
+        index = build_moment_index(params, model, both,
+                                   with_fingerprint=False)
+        exact = make_retriever(model, index, k, topk_method="exact")
+        d_ref, r_ref = exact(params, toks, lens)
+        np.testing.assert_array_equal(np.asarray(r_live),
+                                      np.asarray(r_ref))
+        np.testing.assert_allclose(np.asarray(d_live), np.asarray(d_ref),
+                                   rtol=1e-5, atol=1e-6)
+        # row -> (video, span) mapping agrees with the live metadata
+        r = np.asarray(r_live)
+        for row in r.ravel()[:20]:
+            assert live.video_row[row] >= 0
+            vid = live.video_ids[live.video_row[row]]
+            assert vid == both.video_ids[index.video_row[row]]
+
+    def test_zero_recompiles_across_appends(self, setup):
+        """The retriever program compiles once; appends reuse it (the
+        whole point of the capacity arena)."""
+        cfg, model, params, ds, ds2, toks, lens = setup
+        k, cap = 5, 30
+        live = make_live_index(params, model, ds, capacity_videos=cap)
+        retrieve = make_live_retriever(model, live, k,
+                                       topk_method="exact")
+        retrieve(params, toks, lens)
+        from vfr_tpu.eval.corpus import make_operand_retriever
+
+        fn = make_operand_retriever(model, live.weights, k,
+                                    topk_method="exact")
+        n_before = fn._cache_size()
+        for i, seed in enumerate((20, 21, 22)):
+            _, dsx, _ = _dataset(2, seed=seed, prefix=f"g{i}")
+            live_append(live, params, model, ds, dsx.video_ids,
+                        dsx.rgb_feats, dsx.flow_feats)
+            d, r = retrieve(params, toks, lens)
+            assert np.asarray(r).max() < live.used_rows
+        assert fn._cache_size() == n_before
+
+    def test_free_rows_guarded(self, setup):
+        cfg, model, params, ds, ds2, toks, lens = setup
+        live = make_live_index(params, model, ds, capacity_videos=13)
+        with pytest.raises(ValueError, match="exceeds capacity"):
+            live_append(live, params, model, ds, ds2.video_ids,
+                        ds2.rgb_feats, ds2.flow_feats)
+
+    def test_duplicate_video_rejected(self, setup):
+        cfg, model, params, ds, ds2, toks, lens = setup
+        live = make_live_index(params, model, ds, capacity_videos=24)
+        with pytest.raises(ValueError, match="already in the corpus"):
+            live_append(live, params, model, ds, [ds.video_ids[0]],
+                        ds.rgb_feats[:1], ds.flow_feats[:1])
+
+    def test_pad_rows_unretrievable(self, setup):
+        """k <= valid rows: no free-region row can ever surface."""
+        cfg, model, params, ds, ds2, toks, lens = setup
+        live = make_live_index(params, model, ds, capacity_videos=64)
+        retrieve = make_live_retriever(model, live, 10,
+                                       topk_method="exact")
+        _, rows = retrieve(params, toks, lens)
+        assert np.asarray(rows).max() < live.used_rows
+
+    def test_delta_npz_roundtrip(self, setup, tmp_path):
+        cfg, model, params, ds, ds2, toks, lens = setup
+        p = tmp_path / "delta.npz"
+        np.savez(p, video_ids=np.asarray(ds2.video_ids),
+                 rgb=ds2.rgb_feats, flow=ds2.flow_feats)
+        vids, rgb, flow, durations = load_delta_npz(str(p))
+        assert vids == list(ds2.video_ids) and durations is None
+        live = make_live_index(params, model, ds, capacity_videos=24)
+        n = live_append(live, params, model, ds, vids, rgb, flow)
+        assert n == 5 * ds.num_proposals
+
+
+class TestCharadesDelta:
+    def test_charades_delta_matches_rebuild(self):
+        from vfr_tpu.data.charades import CharadesSTADataset
+        from vfr_tpu.data.synthetic import make_charades_fixture
+
+        fix = make_charades_fixture(num_videos=8, num_queries=16,
+                                    feature_dim=F, glove_dim=E, seed=1)
+        cfg = ExperimentConfig(
+            name="live-c",
+            data=DataConfig(feature_dim=F, glove_dim=E, use_flow=False,
+                            dataset="charades_sta"),
+            model=ModelConfig(joint_dim=16, lstm_hidden=16,
+                              stream_weights=(1.0,)),
+            train=TrainConfig(),
+            eval=EvalConfig(),
+        )
+        ds = CharadesSTADataset(fix.annotations, fix.rgb, None, fix.vocab,
+                                cfg.data)
+        model = build_model(cfg, dataset=ds)
+        params = init_model_params(jax.random.PRNGKey(0), model,
+                                   fix.glove, F)
+        # delta = the last 3 videos of the same corpus re-badged as new
+        delta_ids = [f"newc{i}" for i in range(3)]
+        rgb = ds.rgb_feats[-3:]
+        durations = ds.durations[-3:]
+
+        live_base_ids = ds.video_ids[:5]
+        # shrink the serving dataset to the first 5 videos
+        import types
+
+        base = types.SimpleNamespace(
+            video_ids=live_base_ids,
+            rgb_feats=ds.rgb_feats[:5],
+            flow_feats=None,
+            num_proposals=ds.num_proposals,
+            windows=ds.windows,
+            window_mask=ds.window_mask[:5],
+            video_tef=ds.video_tef[:5],
+            cfg=ds.cfg,
+        )
+        from vfr_tpu.eval.live import live_append, make_live_index
+
+        live = make_live_index(params, model, base, capacity_videos=8)
+        live_append(live, params, model, base, delta_ids, rgb,
+                    durations=durations)
+
+        full = types.SimpleNamespace(
+            video_ids=live_base_ids + delta_ids,
+            rgb_feats=ds.rgb_feats[np.r_[0:5, 5:8]],
+            flow_feats=None,
+            num_proposals=ds.num_proposals,
+            windows=ds.windows,
+            window_mask=ds.window_mask[np.r_[0:5, 5:8]],
+            video_tef=ds.video_tef[np.r_[0:5, 5:8]],
+            cfg=ds.cfg,
+        )
+        index = build_moment_index(params, model, full,
+                                   with_fingerprint=False)
+        batch = next(ds.eval_batches(8))
+        toks = jnp.asarray(batch["tokens"])
+        lens = jnp.asarray(batch["lengths"])
+        exact = make_retriever(model, index, 5, topk_method="exact")
+        ret = make_live_retriever(model, live, 5, topk_method="exact")
+        d_ref, r_ref = exact(params, toks, lens)
+        d_liv, r_liv = ret(params, toks, lens)
+        np.testing.assert_array_equal(np.asarray(r_liv), np.asarray(r_ref))
+        np.testing.assert_allclose(np.asarray(d_liv), np.asarray(d_ref),
+                                   rtol=1e-5, atol=1e-6)
+
+
+class TestLiveServeCLI:
+    def test_follow_live_add_control_line(self, tmp_path, capsys,
+                                          monkeypatch):
+        """End to end: `serve --follow --live-capacity-videos` answers a
+        query, absorbs an `!add <delta.npz>` control line, and later
+        queries can retrieve the appended videos."""
+        import io
+        import json
+
+        from vfr_tpu.cli import main
+
+        rc = main([
+            "train", "--preset", "didemo_rgb",
+            "--data-dir", str(tmp_path / "none"),
+            "--checkpoint-dir", str(tmp_path / "ck"),
+            "--batch-size", "12", "--epochs", "2",
+        ])
+        assert rc == 0
+        capsys.readouterr()
+
+        # delta: 4 new videos with features in the SERVING corpus's own
+        # layout (didemo_rgb preset: [V, 6 clips, 2048] rgb)
+        rng = np.random.default_rng(33)
+        delta = tmp_path / "delta.npz"
+        np.savez(delta,
+                 video_ids=np.asarray([f"fresh{i:04d}" for i in range(4)]),
+                 rgb=rng.standard_normal((4, 6, 2048)).astype(np.float32))
+        stdin = (
+            "w0001 w0002\n"
+            f"!add {delta}\n"
+            "w0003 w0004\n"
+            f"!add {delta}\n"           # duplicate -> error ack, no crash
+        )
+        monkeypatch.setattr("sys.stdin", io.StringIO(stdin))
+        rc = main([
+            "serve", "--preset", "didemo_rgb",
+            "--data-dir", str(tmp_path / "none"),
+            "--checkpoint-dir", str(tmp_path / "ck"),
+            "--queries", "-", "--follow", "--topk", "3",
+            "--live-capacity-videos", "32",
+        ])
+        assert rc == 0
+        recs = [json.loads(l) for l in
+                capsys.readouterr().out.splitlines() if l.strip()]
+        assert len(recs) == 4
+        q1, ack, q2, ack2 = recs
+        assert q1["query"] == "w0001 w0002" and len(q1["results"]) == 3
+        assert ack["added_rows"] == 4 * 21
+        assert ack["num_videos"] == 17 + 4
+        assert q2["query"] == "w0003 w0004" and len(q2["results"]) == 3
+        assert "error" in ack2 and "already in the corpus" in ack2["error"]
+        # appended videos are actually retrievable: every result video id
+        # must resolve, and the corpus now contains the fresh ids
+        all_vids = {r["video"] for rec in (q1, q2) for r in rec["results"]}
+        assert all(isinstance(v, str) and v for v in all_vids)

@@ -132,6 +132,14 @@ def build_parser() -> argparse.ArgumentParser:
                    help="daemon mode: answer stdin queries line by line "
                         "(one JSON line per query, flushed immediately) "
                         "against the cached index until EOF")
+    s.add_argument("--live-capacity-videos", type=int, default=0,
+                   help="--follow only: serve from a capacity-padded LIVE "
+                        "index that grows while the daemon runs — input "
+                        "lines '!add <delta.npz>' (video_ids + rgb[/flow/"
+                        "durations] arrays) append new videos in-process "
+                        "with zero recompiles (eval/live.py). Value = max "
+                        "corpus size in videos. Single-device, exact scan "
+                        "only.")
     s.add_argument("--micro-batch", type=int, default=8,
                    help="--follow only: max queries packed into one "
                         "dispatch. Per-request cost on this runtime is "
@@ -352,6 +360,21 @@ def main(argv=None) -> int:
             if shards > 1 and len(jax.devices()) >= shards:
                 mesh = make_mesh(("corpus",), shape=(shards,))
 
+            live = None
+            if args.live_capacity_videos > 0:
+                from vfr_tpu.eval.live import make_live_index
+
+                if mesh is not None or index is not None or \
+                        coarse_kw.get("coarse") is not None:
+                    print("error: --live-capacity-videos is single-device "
+                          "exact serving (no --shards/--index-path/"
+                          "--coarse-path)", file=sys.stderr)
+                    return 2
+                live = make_live_index(
+                    params, model, bundle.val,
+                    capacity_videos=args.live_capacity_videos,
+                    num_videos=cfg.eval.corpus_num_videos,
+                    index_dtype=cfg.eval.index_dtype)
             with contextlib.ExitStack() as stack:
                 if args.queries == "-":
                     src = sys.stdin
@@ -370,6 +393,7 @@ def main(argv=None) -> int:
                     index=index,
                     micro_batch=max(args.micro_batch, 1),
                     mesh=mesh,
+                    live=live,
                     **coarse_kw,
                 ):
                     print(json.dumps(rec), flush=True)

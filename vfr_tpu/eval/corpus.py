@@ -461,24 +461,9 @@ def make_retriever(
         # is cached so per-refresh factory calls (hard-negative mining)
         # reuse the compiled program.
         weights = index.weights
-        cache_key = ("retrieve", _query_model_key(model), k, topk_method,
-                     approx_recall, rnn_kernel,
-                     tuple(np.asarray(weights).tolist()))
-        _retrieve = _JIT_CACHE.get(cache_key)
-        if _retrieve is None:
-
-            @jax.jit
-            def _retrieve(m_cat, msq_fused, params, tokens, lengths):
-                qs = _embed_query_streams(params, model, tokens, lengths,
-                                          rnn_kernel)
-                scores = fused_corpus_scores(qs, m_cat, msq_fused, weights,
-                                             compute_dtype)
-                vals, rows = top_k_select(scores, k, topk_method,
-                                          approx_recall)
-                dists = query_sq_const(qs, weights)[:, None] - vals
-                return dists, rows
-
-            _JIT_CACHE[cache_key] = _retrieve
+        _retrieve = make_operand_retriever(
+            model, weights, k, topk_method=topk_method,
+            approx_recall=approx_recall, rnn_kernel=rnn_kernel)
 
         def retrieve(params, tokens, lengths):
             return _retrieve(m_cat, msq_fused, params, tokens, lengths)
@@ -510,6 +495,45 @@ def make_retriever(
         return _retrieve(m_cat, msq_fused, params, tokens, lengths)
 
     return retrieve
+
+
+def make_operand_retriever(
+    model: Model,
+    weights,
+    k: int,
+    topk_method: str = "approx",
+    approx_recall: float = 0.95,
+    rnn_kernel=None,
+):
+    """The one-matmul retriever with its index operands as call-time
+    arguments: jitted ``(m_cat [N, S*d], msq_fused [N], params, tokens,
+    lengths) -> (dists [Q, k], rows [Q, k])``, cached by the model's
+    semantic key.  ``make_retriever`` binds a fixed index to it; the live
+    index (eval/live.py) passes FRESH operand buffers after every append
+    — same shapes, so the compiled program is reused untouched."""
+    from vfr_tpu.ops.topk import top_k_select
+
+    compute_dtype = model.compute_dtype
+    cache_key = ("retrieve", _query_model_key(model), k, topk_method,
+                 approx_recall, rnn_kernel,
+                 tuple(np.asarray(weights).tolist()))
+    _retrieve = _JIT_CACHE.get(cache_key)
+    if _retrieve is None:
+        w = np.asarray(weights, np.float32)
+
+        @jax.jit
+        def _retrieve(m_cat, msq_fused, params, tokens, lengths):
+            qs = _embed_query_streams(params, model, tokens, lengths,
+                                      rnn_kernel)
+            scores = fused_corpus_scores(qs, m_cat, msq_fused, w,
+                                         compute_dtype)
+            vals, rows = top_k_select(scores, k, topk_method,
+                                      approx_recall)
+            dists = query_sq_const(qs, w)[:, None] - vals
+            return dists, rows
+
+        _JIT_CACHE[cache_key] = _retrieve
+    return _retrieve
 
 
 def make_stream_retriever(
@@ -809,9 +833,20 @@ def serve_follow(
     pipeline_depth: int = 2,
     coarse=None, coarse_dim: int = 0, coarse_candidates: int = 2048,
     coarse_mode: str = "blockmax",
+    live=None,
 ):
     """Daemon serving: answer an ITERATOR of query strings, yielding one
     result record per query in input order (the `serve --follow` CLI mode).
+
+    ``live`` (an ``eval.live.LiveIndex``): ONLINE-GROWTH mode — the corpus
+    can be extended while the daemon runs.  Input lines starting with
+    ``!add <delta.npz>`` (see ``eval.live.load_delta_npz`` for the format)
+    append the new videos in-process — O(delta) embed + an in-place
+    device splice, ZERO retriever recompiles (the arena's shapes are
+    fixed at capacity) — and yield an ack record; every later query sees
+    the grown corpus, and in-flight queries keep their snapshot.  Control
+    lines are ordered with respect to queries (in-flight work is flushed
+    before the append applies).  Mutually exclusive with mesh/coarse.
 
     Request->program mapping (VERDICT r2 weak #3 — the r2 version rode every
     request on row 0 of an [8, T] block and blocked on its fetch before the
@@ -838,45 +873,59 @@ def serve_follow(
 
     from vfr_tpu.data.glove import tokenize
 
-    owns_index = index is None
-    if owns_index:
-        index = build_moment_index(params, model, dataset,
-                                   num_videos=num_videos,
-                                   index_dtype=index_dtype,
-                                   with_fingerprint=False)
+    if live is not None:
+        if mesh is not None or coarse is not None or coarse_dim > 0:
+            raise ValueError("live-growth serving is single-device and "
+                             "exact (no mesh/coarse)")
+        from vfr_tpu.eval.live import make_live_retriever
+
+        retrieve = make_live_retriever(model, live, k,
+                                       topk_method=topk_method,
+                                       approx_recall=approx_recall)
+        # result mapping reads the ARENA's metadata (it grows with !add)
+        video_ids = live.video_ids
+        row_video, spans_sec = live.video_row, live.spans_sec
     else:
-        validate_index(index, params, model, dataset)
-    if coarse is None and coarse_dim > 0:
-        from vfr_tpu.eval.coarse import build_coarse_index
-
-        coarse = build_coarse_index(index, d_coarse=coarse_dim)
-    if coarse is not None:
-        from vfr_tpu.eval.coarse import (
-            make_coarse_retriever,
-            make_sharded_coarse_retriever,
-        )
-
-        if mesh is not None:
-            retrieve = make_sharded_coarse_retriever(
-                model, coarse, min(k, index.num_rows), mesh,
-                num_candidates=coarse_candidates,
-                approx_recall=approx_recall, mode=coarse_mode)
+        owns_index = index is None
+        if owns_index:
+            index = build_moment_index(params, model, dataset,
+                                       num_videos=num_videos,
+                                       index_dtype=index_dtype,
+                                       with_fingerprint=False)
         else:
-            retrieve = make_coarse_retriever(
-                model, coarse, min(k, index.num_rows),
-                num_candidates=coarse_candidates,
-                approx_recall=approx_recall, mode=coarse_mode)
-    else:
-        retrieve = make_retriever(model, index, min(k, index.num_rows),
-                                  mesh=mesh,
-                                  topk_method=topk_method,
-                                  approx_recall=approx_recall)
-    if owns_index and topk_method != "fused":
-        # the retriever holds its own one-matmul copy; drop the per-stream
-        # rows so a long-lived daemon peaks at ~1x the index footprint
-        # ("fused" reads index.m per call — keep it then)
-        index.m, index.m_sq = None, None
-    video_ids = dataset.video_ids
+            validate_index(index, params, model, dataset)
+        if coarse is None and coarse_dim > 0:
+            from vfr_tpu.eval.coarse import build_coarse_index
+
+            coarse = build_coarse_index(index, d_coarse=coarse_dim)
+        if coarse is not None:
+            from vfr_tpu.eval.coarse import (
+                make_coarse_retriever,
+                make_sharded_coarse_retriever,
+            )
+
+            if mesh is not None:
+                retrieve = make_sharded_coarse_retriever(
+                    model, coarse, min(k, index.num_rows), mesh,
+                    num_candidates=coarse_candidates,
+                    approx_recall=approx_recall, mode=coarse_mode)
+            else:
+                retrieve = make_coarse_retriever(
+                    model, coarse, min(k, index.num_rows),
+                    num_candidates=coarse_candidates,
+                    approx_recall=approx_recall, mode=coarse_mode)
+        else:
+            retrieve = make_retriever(model, index, min(k, index.num_rows),
+                                      mesh=mesh,
+                                      topk_method=topk_method,
+                                      approx_recall=approx_recall)
+        if owns_index and topk_method != "fused":
+            # the retriever holds its own one-matmul copy; drop the
+            # per-stream rows so a long-lived daemon peaks at ~1x the index
+            # footprint ("fused" reads index.m per call — keep it then)
+            index.m, index.m_sq = None, None
+        video_ids = dataset.video_ids
+        row_video, spans_sec = index.video_row, index.spans_sec
 
     _DONE = object()
     # Bounded: the reader must not slurp an arbitrarily long input (a
@@ -899,22 +948,39 @@ def serve_follow(
 
     threading.Thread(target=_reader, daemon=True).start()
 
+    def _is_cmd(text) -> bool:
+        return live is not None and isinstance(text, str) \
+            and text.startswith("!")
+
+    pending: deque = deque()   # items pulled but deferred (cmd ordering)
+
     def _next_block():
-        """Block for one line, then take whatever else is already waiting."""
-        first = q.get()
+        """Block for one item, then take whatever else is already waiting.
+        Control lines (live mode) are block boundaries: they are returned
+        alone, in order, so an `!add` applies after every earlier query
+        and before every later one."""
+        first = pending.popleft() if pending else q.get()
         if first is _DONE:
             return None
+        if _is_cmd(first):
+            return ("cmd", first)
         texts = [first]
         while len(texts) < micro_batch:
-            try:
-                item = q.get_nowait()
-            except _queue.Empty:
-                break
+            if pending:
+                item = pending.popleft()
+            else:
+                try:
+                    item = q.get_nowait()
+                except _queue.Empty:
+                    break
             if item is _DONE:
-                q.put(_DONE)           # re-post EOF for the outer loop
+                pending.append(_DONE)  # re-post EOF for the outer loop
+                break
+            if _is_cmd(item):
+                pending.append(item)   # keep order; handle next round
                 break
             texts.append(item)
-        return texts
+        return ("queries", texts)
 
     def _dispatch(texts):
         toks = np.zeros((micro_batch, max_query_len), np.int32)
@@ -932,24 +998,49 @@ def serve_follow(
                 "query": text,
                 "results": [
                     {
-                        "video": video_ids[int(index.video_row[r])],
-                        "start": float(index.spans_sec[r, 0]),
-                        "end": float(index.spans_sec[r, 1]),
+                        "video": video_ids[int(row_video[r])],
+                        "start": float(spans_sec[r, 0]),
+                        "end": float(spans_sec[r, 1]),
                         "distance": float(d[i, j]),
                     }
                     for j, r in enumerate(rows[i])
                 ],
             }
 
+    def _apply_cmd(line):
+        from vfr_tpu.eval.live import live_append, load_delta_npz
+
+        try:
+            if not line.startswith("!add "):
+                raise ValueError(f"unknown control line {line.split()[0]!r}"
+                                 " (supported: !add <delta.npz>)")
+            path = line[len("!add "):].strip()
+            vids, rgb, flow, durations = load_delta_npz(path)
+            n = live_append(live, params, model, dataset, vids, rgb,
+                            flow=flow, durations=durations)
+            return {"command": line, "added_rows": int(n),
+                    "num_videos": live.num_videos,
+                    "free_rows": live.free_rows}
+        except Exception as e:   # a bad delta must not kill the daemon
+            return {"command": line, "error": str(e)}
+
     inflight: deque = deque()
     while True:
-        texts = _next_block()
-        if texts is None:
+        block = _next_block()
+        if block is None:
             break
-        inflight.append(_dispatch(texts))
+        kind, payload = block
+        if kind == "cmd":
+            # order barrier: earlier queries see the old corpus, later
+            # ones the grown corpus
+            while inflight:
+                yield from _fetch(inflight.popleft())
+            yield _apply_cmd(payload)
+            continue
+        inflight.append(_dispatch(payload))
         while len(inflight) >= max(pipeline_depth, 1):
             yield from _fetch(inflight.popleft())
-        if q.empty():
+        if q.empty() and not pending:
             # no further input waiting: flush now so an isolated request
             # never waits on a successor that may not come
             while inflight:
