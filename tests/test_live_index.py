@@ -259,6 +259,8 @@ class TestLiveServeCLI:
             f"!add {delta}\n"
             "w0003 w0004\n"
             f"!add {delta}\n"           # duplicate -> error ack, no crash
+            "!remove fresh0001\n"
+            "w0005 w0006\n"
         )
         monkeypatch.setattr("sys.stdin", io.StringIO(stdin))
         rc = main([
@@ -271,14 +273,71 @@ class TestLiveServeCLI:
         assert rc == 0
         recs = [json.loads(l) for l in
                 capsys.readouterr().out.splitlines() if l.strip()]
-        assert len(recs) == 4
-        q1, ack, q2, ack2 = recs
+        assert len(recs) == 6
+        q1, ack, q2, ack2, ack3, q3 = recs
         assert q1["query"] == "w0001 w0002" and len(q1["results"]) == 3
         assert ack["added_rows"] == 4 * 21
         assert ack["num_videos"] == 17 + 4
         assert q2["query"] == "w0003 w0004" and len(q2["results"]) == 3
         assert "error" in ack2 and "already in the corpus" in ack2["error"]
+        assert ack3["removed_rows"] == 21
+        assert q3["query"] == "w0005 w0006" and len(q3["results"]) == 3
+        assert all(r["video"] != "fresh0001" for r in q3["results"])
         # appended videos are actually retrievable: every result video id
         # must resolve, and the corpus now contains the fresh ids
         all_vids = {r["video"] for rec in (q1, q2) for r in rec["results"]}
         assert all(isinstance(v, str) and v for v in all_vids)
+
+
+class TestLiveRemove:
+    def test_removed_video_never_retrieved(self, setup):
+        """Tombstoned rows can never surface; survivors keep their exact
+        distances (compared against a rebuild WITHOUT the video)."""
+        from vfr_tpu.eval.live import live_remove
+
+        cfg, model, params, ds, ds2, toks, lens = setup
+        live = make_live_index(params, model, ds, capacity_videos=24)
+        victim = ds.video_ids[3]
+        n = live_remove(live, [victim])
+        assert n == ds.num_proposals
+        retrieve = make_live_retriever(model, live, 10,
+                                       topk_method="exact")
+        d_live, r_live = retrieve(params, toks, lens)
+        got = np.asarray(r_live)
+        assert not np.isin(got, np.nonzero(
+            live.video_row == 3)[0]).any()
+
+        # rebuild without the victim: same (video, prop, distance) sets
+        import types
+
+        keep = [i for i, v in enumerate(ds.video_ids) if v != victim]
+        both = types.SimpleNamespace(
+            video_ids=[ds.video_ids[i] for i in keep],
+            rgb_feats=ds.rgb_feats[keep],
+            flow_feats=ds.flow_feats[keep],
+            num_proposals=ds.num_proposals,
+            span_seconds=ds.span_seconds,
+        )
+        index = build_moment_index(params, model, both,
+                                   with_fingerprint=False)
+        exact = make_retriever(model, index, 10, topk_method="exact")
+        d_ref, r_ref = exact(params, toks, lens)
+        key_live = [
+            {(live.video_ids[live.video_row[r]], int(live.prop_idx[r]),
+              round(float(d), 4)) for r, d in zip(rq, dq)}
+            for rq, dq in zip(got, np.asarray(d_live))
+        ]
+        key_ref = [
+            {(both.video_ids[index.video_row[r]], int(index.prop_idx[r]),
+              round(float(d), 4)) for r, d in zip(rq, dq)}
+            for rq, dq in zip(np.asarray(r_ref), np.asarray(d_ref))
+        ]
+        assert key_live == key_ref
+
+    def test_remove_unknown_video_raises(self, setup):
+        from vfr_tpu.eval.live import live_remove
+
+        cfg, model, params, ds, ds2, toks, lens = setup
+        live = make_live_index(params, model, ds, capacity_videos=24)
+        with pytest.raises(ValueError, match="not in the corpus"):
+            live_remove(live, ["nope"])

@@ -1008,19 +1008,28 @@ def serve_follow(
             }
 
     def _apply_cmd(line):
-        from vfr_tpu.eval.live import live_append, load_delta_npz
+        from vfr_tpu.eval.live import (
+            live_append,
+            live_remove,
+            load_delta_npz,
+        )
 
         try:
-            if not line.startswith("!add "):
-                raise ValueError(f"unknown control line {line.split()[0]!r}"
-                                 " (supported: !add <delta.npz>)")
-            path = line[len("!add "):].strip()
-            vids, rgb, flow, durations = load_delta_npz(path)
-            n = live_append(live, params, model, dataset, vids, rgb,
-                            flow=flow, durations=durations)
-            return {"command": line, "added_rows": int(n),
-                    "num_videos": live.num_videos,
-                    "free_rows": live.free_rows}
+            if line.startswith("!add "):
+                path = line[len("!add "):].strip()
+                vids, rgb, flow, durations = load_delta_npz(path)
+                n = live_append(live, params, model, dataset, vids, rgb,
+                                flow=flow, durations=durations)
+                return {"command": line, "added_rows": int(n),
+                        "num_videos": live.num_videos,
+                        "free_rows": live.free_rows}
+            if line.startswith("!remove "):
+                vids = line[len("!remove "):].split()
+                n = live_remove(live, vids)
+                return {"command": line, "removed_rows": int(n)}
+            raise ValueError(f"unknown control line {line.split()[0]!r}"
+                             " (supported: !add <delta.npz>, "
+                             "!remove <video_id> [...])")
         except Exception as e:   # a bad delta must not kill the daemon
             return {"command": line, "error": str(e)}
 

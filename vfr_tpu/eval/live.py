@@ -229,6 +229,37 @@ def live_append(
     return n
 
 
+def live_remove(live: LiveIndex, video_ids) -> int:
+    """Tombstone videos: their rows get msq = +1e30 (the universal
+    never-retrievable guard), taking effect on the next retrieval with —
+    like appends — zero recompiles.  Capacity is NOT reclaimed (rows stay
+    tombstoned; the id stays taken, so a re-add of the same id is
+    rejected — rebuild the arena to compact).  Returns rows removed."""
+    vset = {}
+    for v in video_ids:
+        try:
+            vset[live.video_ids.index(v)] = v
+        except ValueError:
+            raise ValueError(f"video {v!r} is not in the corpus")
+    mask = np.isin(live.video_row[:live.used_rows], list(vset))
+    if not mask.any():
+        return 0
+    full = np.zeros(live.capacity, bool)
+    full[:live.used_rows] = mask
+
+    rm_key = ("live_remove", live.msq_fused.shape)
+    _remove = _JIT_CACHE.get(rm_key)
+    if _remove is None:
+        def _remove_fn(msq, mask):
+            return jnp.where(mask, 1e30, msq)
+
+        _remove = jax.jit(_remove_fn, donate_argnums=(0,))
+        _JIT_CACHE[rm_key] = _remove
+
+    live.msq_fused = _remove(live.msq_fused, jnp.asarray(full))
+    return int(mask.sum())
+
+
 def make_live_retriever(
     model: Model, live: LiveIndex, k: int,
     topk_method: str = "approx", approx_recall: float = 0.95,
