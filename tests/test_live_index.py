@@ -341,3 +341,87 @@ class TestLiveRemove:
         live = make_live_index(params, model, ds, capacity_videos=24)
         with pytest.raises(ValueError, match="not in the corpus"):
             live_remove(live, ["nope"])
+
+
+class TestArenaPersistence:
+    def test_save_load_roundtrip_bit_exact(self, setup, tmp_path):
+        from vfr_tpu.eval.live import live_remove, load_arena, save_arena
+
+        cfg, model, params, ds, ds2, toks, lens = setup
+        live = make_live_index(params, model, ds, capacity_videos=24,
+                               index_dtype="bfloat16")
+        live_append(live, params, model, ds, ds2.video_ids,
+                    ds2.rgb_feats, ds2.flow_feats)
+        live_remove(live, [ds.video_ids[2]])
+        p = save_arena(live, str(tmp_path / "arena"), params=params,
+                       model=model)
+        loaded = load_arena(p, params=params, model=model)
+        np.testing.assert_array_equal(
+            np.asarray(loaded.m_cat, np.float32),
+            np.asarray(live.m_cat, np.float32))
+        np.testing.assert_array_equal(np.asarray(loaded.msq_fused),
+                                      np.asarray(live.msq_fused))
+        assert loaded.video_ids == live.video_ids
+        assert loaded.used_rows == live.used_rows
+        r1 = make_live_retriever(model, live, 8, topk_method="exact")
+        r2 = make_live_retriever(model, loaded, 8, topk_method="exact")
+        d1, rows1 = r1(params, toks, lens)
+        d2, rows2 = r2(params, toks, lens)
+        np.testing.assert_array_equal(np.asarray(rows1), np.asarray(rows2))
+
+    def test_fingerprint_rejects_other_checkpoint(self, setup, tmp_path):
+        from vfr_tpu.eval.live import load_arena, save_arena
+
+        cfg, model, params, ds, ds2, toks, lens = setup
+        live = make_live_index(params, model, ds, capacity_videos=24)
+        p = save_arena(live, str(tmp_path / "arena"), params=params,
+                       model=model)
+        other = init_model_params(jax.random.PRNGKey(9), model,
+                                  np.zeros((200, E), np.float32), F)
+        with pytest.raises(ValueError, match="fingerprint mismatch"):
+            load_arena(p, params=other, model=model)
+
+    def test_daemon_save_then_boot_from_arena(self, tmp_path, capsys,
+                                              monkeypatch):
+        """`!save` snapshot -> restart with --live-arena: the second
+        daemon answers identically without re-embedding."""
+        import io
+        import json
+
+        from vfr_tpu.cli import main
+
+        rc = main([
+            "train", "--preset", "didemo_rgb",
+            "--data-dir", str(tmp_path / "none"),
+            "--checkpoint-dir", str(tmp_path / "ck"),
+            "--batch-size", "12", "--epochs", "2",
+        ])
+        assert rc == 0
+        capsys.readouterr()
+        arena = tmp_path / "arena.npz"
+        monkeypatch.setattr("sys.stdin", io.StringIO(
+            f"w0001 w0002\n!save {arena}\n"))
+        rc = main([
+            "serve", "--preset", "didemo_rgb",
+            "--data-dir", str(tmp_path / "none"),
+            "--checkpoint-dir", str(tmp_path / "ck"),
+            "--queries", "-", "--follow", "--topk", "3",
+            "--live-capacity-videos", "32",
+        ])
+        assert rc == 0
+        recs = [json.loads(l) for l in
+                capsys.readouterr().out.splitlines() if l.strip()]
+        assert recs[1]["saved"] == str(arena)
+
+        monkeypatch.setattr("sys.stdin", io.StringIO("w0001 w0002\n"))
+        rc = main([
+            "serve", "--preset", "didemo_rgb",
+            "--data-dir", str(tmp_path / "none"),
+            "--checkpoint-dir", str(tmp_path / "ck"),
+            "--queries", "-", "--follow", "--topk", "3",
+            "--live-arena", str(arena),
+        ])
+        assert rc == 0
+        recs2 = [json.loads(l) for l in
+                 capsys.readouterr().out.splitlines() if l.strip()]
+        assert recs2[0]["results"] == recs[0]["results"]

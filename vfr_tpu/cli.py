@@ -132,6 +132,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="daemon mode: answer stdin queries line by line "
                         "(one JSON line per query, flushed immediately) "
                         "against the cached index until EOF")
+    s.add_argument("--live-arena", default=None,
+                   help="--follow only: boot the live index from an arena "
+                        "snapshot (written by the '!save <path>' control "
+                        "line) instead of embedding the corpus — restart "
+                        "keeps every prior !add/!remove")
     s.add_argument("--live-capacity-videos", type=int, default=0,
                    help="--follow only: serve from a capacity-padded LIVE "
                         "index that grows while the daemon runs — input "
@@ -361,20 +366,24 @@ def main(argv=None) -> int:
                 mesh = make_mesh(("corpus",), shape=(shards,))
 
             live = None
-            if args.live_capacity_videos > 0:
-                from vfr_tpu.eval.live import make_live_index
+            if args.live_capacity_videos > 0 or args.live_arena:
+                from vfr_tpu.eval.live import load_arena, make_live_index
 
                 if mesh is not None or index is not None or \
                         coarse_kw.get("coarse") is not None:
-                    print("error: --live-capacity-videos is single-device "
+                    print("error: live serving is single-device "
                           "exact serving (no --shards/--index-path/"
                           "--coarse-path)", file=sys.stderr)
                     return 2
-                live = make_live_index(
-                    params, model, bundle.val,
-                    capacity_videos=args.live_capacity_videos,
-                    num_videos=cfg.eval.corpus_num_videos,
-                    index_dtype=cfg.eval.index_dtype)
+                if args.live_arena:
+                    live = load_arena(args.live_arena, params=params,
+                                      model=model)
+                else:
+                    live = make_live_index(
+                        params, model, bundle.val,
+                        capacity_videos=args.live_capacity_videos,
+                        num_videos=cfg.eval.corpus_num_videos,
+                        index_dtype=cfg.eval.index_dtype)
             with contextlib.ExitStack() as stack:
                 if args.queries == "-":
                     src = sys.stdin

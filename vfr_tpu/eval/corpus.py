@@ -1027,9 +1027,16 @@ def serve_follow(
                 vids = line[len("!remove "):].split()
                 n = live_remove(live, vids)
                 return {"command": line, "removed_rows": int(n)}
+            if line.startswith("!save "):
+                from vfr_tpu.eval.live import save_arena
+
+                out = save_arena(live, line[len("!save "):].strip(),
+                                 params=params, model=model)
+                return {"command": line, "saved": out,
+                        "num_videos": live.num_videos}
             raise ValueError(f"unknown control line {line.split()[0]!r}"
                              " (supported: !add <delta.npz>, "
-                             "!remove <video_id> [...])")
+                             "!remove <video_id> [...], !save <path>)")
         except Exception as e:   # a bad delta must not kill the daemon
             return {"command": line, "error": str(e)}
 

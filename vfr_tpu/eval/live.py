@@ -260,6 +260,81 @@ def live_remove(live: LiveIndex, video_ids) -> int:
     return int(mask.sum())
 
 
+def save_arena(live: LiveIndex, path: str, params=None, model=None) -> str:
+    """Snapshot the whole arena (operands + metadata + used region) so a
+    daemon restart skips the corpus embed entirely — including every
+    append/remove applied so far, which no `cli index` rebuild from the
+    base dataset would contain.  bf16 operands round-trip bit-exactly
+    (raw uint16).  With ``params``/``model`` a provenance fingerprint is
+    stored and validated at load (same contract as save_index)."""
+    if not path.endswith(".npz"):
+        path += ".npz"
+    m = np.asarray(live.m_cat)
+    if live.m_cat.dtype == jnp.bfloat16:
+        m_store, m_dtype = m.view(np.uint16), "bfloat16"
+    else:
+        m_store, m_dtype = m.astype(np.float32), "float32"
+    extra = {}
+    if params is not None and model is not None:
+        import json
+
+        from vfr_tpu.eval.corpus import index_fingerprint
+
+        shim = SimpleNamespace(video_ids=live.video_ids)
+        fp = index_fingerprint(params, model, shim, live.num_videos)
+        extra["fingerprint"] = np.asarray(json.dumps(fp))
+    np.savez(path, m_cat=m_store, m_dtype=np.asarray(m_dtype),
+             msq_fused=np.asarray(live.msq_fused, np.float32),
+             video_row=live.video_row, prop_idx=live.prop_idx,
+             spans_sec=live.spans_sec,
+             video_ids=np.asarray(live.video_ids),
+             weights=np.asarray(live.weights, np.float32),
+             used_rows=np.asarray(live.used_rows),
+             rows_per_video=np.asarray(live.rows_per_video),
+             index_dtype=np.asarray(live.index_dtype),
+             **extra)
+    return path
+
+
+def load_arena(path: str, params=None, model=None) -> LiveIndex:
+    """Inverse of ``save_arena``.  With ``params``/``model`` the stored
+    fingerprint (if any) is validated — a snapshot from a different
+    checkpoint or corpus fails loudly instead of serving wrong moments."""
+    import json
+
+    with np.load(path, allow_pickle=False) as z:
+        m_dtype = str(z["m_dtype"])
+        m_cat = (jnp.asarray(z["m_cat"].view(jnp.bfloat16))
+                 if m_dtype == "bfloat16"
+                 else jnp.asarray(z["m_cat"], jnp.float32))
+        live = LiveIndex(
+            m_cat=m_cat,
+            msq_fused=jnp.asarray(z["msq_fused"], jnp.float32),
+            video_row=z["video_row"].copy(),
+            prop_idx=z["prop_idx"].copy(),
+            spans_sec=z["spans_sec"].copy(),
+            video_ids=[str(v) for v in z["video_ids"]],
+            weights=z["weights"],
+            used_rows=int(z["used_rows"]),
+            rows_per_video=int(z["rows_per_video"]),
+            index_dtype=str(z["index_dtype"]),
+        )
+        fp = (json.loads(str(z["fingerprint"]))
+              if "fingerprint" in z.files else None)
+    if fp is not None and params is not None and model is not None:
+        from vfr_tpu.eval.corpus import index_fingerprint
+
+        shim = SimpleNamespace(video_ids=live.video_ids)
+        want = index_fingerprint(params, model, shim, live.num_videos)
+        for key in ("model", "params", "videos"):
+            if fp.get(key) != want[key]:
+                raise ValueError(
+                    f"live arena fingerprint mismatch on {key!r}: the "
+                    "snapshot was written from a different "
+                    f"{'checkpoint' if key == 'params' else key}")
+    return live
+
+
 def make_live_retriever(
     model: Model, live: LiveIndex, k: int,
     topk_method: str = "approx", approx_recall: float = 0.95,
