@@ -425,3 +425,361 @@ class TestArenaPersistence:
         recs2 = [json.loads(l) for l in
                  capsys.readouterr().out.splitlines() if l.strip()]
         assert recs2[0]["results"] == recs[0]["results"]
+
+
+class TestShardedLiveArena:
+    """Online growth composed with ICI corpus sharding: the arena's
+    operands live row-sharded over an 8-device mesh; appends splice via
+    the shard_map window write; retrieval is the hierarchical sharded
+    top-k.  Everything is compared against the single-device arena."""
+
+    def _mesh(self, devices8):
+        from vfr_tpu.parallel.mesh import make_mesh
+
+        return make_mesh(("corpus",), devices=devices8)
+
+    def test_sharded_append_matches_single_device(self, setup, devices8):
+        cfg, model, params, ds, ds2, toks, lens = setup
+        mesh = self._mesh(devices8)
+        k = 10
+        live_s = make_live_index(params, model, ds, capacity_videos=24,
+                                 mesh=mesh)
+        live_1 = make_live_index(params, model, ds, capacity_videos=24)
+        for lv in (live_s, live_1):
+            live_append(lv, params, model, ds, ds2.video_ids,
+                        ds2.rgb_feats, ds2.flow_feats)
+        r_s = make_live_retriever(model, live_s, k, topk_method="exact")
+        r_1 = make_live_retriever(model, live_1, k, topk_method="exact")
+        d_s, rows_s = r_s(params, toks, lens)
+        d_1, rows_1 = r_1(params, toks, lens)
+        np.testing.assert_array_equal(np.asarray(rows_s),
+                                      np.asarray(rows_1))
+        np.testing.assert_allclose(np.asarray(d_s), np.asarray(d_1),
+                                   rtol=1e-5, atol=1e-6)
+
+    def test_capacity_roundup_and_delta_split(self, setup, devices8):
+        """capacity 13 videos * 21 rows = 273 -> padded to 280 (8 shards
+        of 35); a 5-video delta (105 rows) exceeds one shard's 35-row
+        block, so live_append must split it at video granularity -- and
+        still match the single-device arena bit for bit."""
+        cfg, model, params, ds, ds2, toks, lens = setup
+        mesh = self._mesh(devices8)
+        live_s = make_live_index(params, model, ds, capacity_videos=18,
+                                 mesh=mesh)
+        assert live_s.capacity % 8 == 0
+        assert live_s.capacity >= 18 * ds.num_proposals
+        assert live_s.rows_per_shard * 8 == live_s.capacity
+        # delta larger than one shard's row block forces the split path
+        assert 5 * ds.num_proposals > live_s.rows_per_shard
+        n = live_append(live_s, params, model, ds, ds2.video_ids,
+                        ds2.rgb_feats, ds2.flow_feats)
+        assert n == 5 * ds.num_proposals
+        live_1 = make_live_index(params, model, ds, capacity_videos=18)
+        live_append(live_1, params, model, ds, ds2.video_ids,
+                    ds2.rgb_feats, ds2.flow_feats)
+        r_s = make_live_retriever(model, live_s, 8, topk_method="exact")
+        r_1 = make_live_retriever(model, live_1, 8, topk_method="exact")
+        d_s, rows_s = r_s(params, toks, lens)
+        d_1, rows_1 = r_1(params, toks, lens)
+        np.testing.assert_array_equal(np.asarray(rows_s),
+                                      np.asarray(rows_1))
+
+    def test_sharded_remove_and_zero_recompiles(self, setup, devices8):
+        from vfr_tpu.eval.corpus import make_sharded_operand_retriever
+        from vfr_tpu.eval.live import live_remove
+
+        cfg, model, params, ds, ds2, toks, lens = setup
+        mesh = self._mesh(devices8)
+        live = make_live_index(params, model, ds, capacity_videos=32,
+                               mesh=mesh)
+        retrieve = make_live_retriever(model, live, 6, topk_method="exact")
+        retrieve(params, toks, lens)
+        fn = make_sharded_operand_retriever(model, live.weights, 6, mesh,
+                                            topk_method="exact")
+        n_before = fn._cache_size()
+        for i, seed in enumerate((30, 31)):
+            _, dsx, _ = _dataset(2, seed=seed, prefix=f"s{i}")
+            live_append(live, params, model, ds, dsx.video_ids,
+                        dsx.rgb_feats, dsx.flow_feats)
+        victim = ds.video_ids[1]
+        live_remove(live, [victim])
+        d, rows = retrieve(params, toks, lens)
+        got = np.asarray(rows)
+        assert got.max() < live.used_rows
+        assert not np.isin(got, np.nonzero(live.video_row == 1)[0]).any()
+        # appends + remove reused the compiled retriever program
+        assert fn._cache_size() == n_before
+
+    def test_snapshot_is_mesh_portable(self, setup, devices8, tmp_path):
+        """A single-device snapshot loads onto a mesh (capacity padded to
+        the axis size with free rows) and retrieves identically."""
+        from vfr_tpu.eval.live import load_arena, save_arena
+
+        cfg, model, params, ds, ds2, toks, lens = setup
+        mesh = self._mesh(devices8)
+        live = make_live_index(params, model, ds, capacity_videos=13)
+        assert live.capacity % 8 != 0   # forces the pad-on-load path
+        p = save_arena(live, str(tmp_path / "arena"), params=params,
+                       model=model)
+        loaded = load_arena(p, params=params, model=model, mesh=mesh)
+        assert loaded.capacity % 8 == 0
+        assert loaded.mesh is mesh
+        r_1 = make_live_retriever(model, live, 7, topk_method="exact")
+        r_s = make_live_retriever(model, loaded, 7, topk_method="exact")
+        d1, rows1 = r_1(params, toks, lens)
+        ds_, rows_s = r_s(params, toks, lens)
+        np.testing.assert_array_equal(np.asarray(rows_s),
+                                      np.asarray(rows1))
+        # and the loaded sharded arena still grows
+        live_append(loaded, params, model, ds, ds2.video_ids[:1],
+                    ds2.rgb_feats[:1], ds2.flow_feats[:1])
+        assert loaded.num_videos == live.num_videos + 1
+
+    def test_follow_sharded_live_cli_matches_unsharded(self, tmp_path,
+                                                       capsys, monkeypatch):
+        """`serve --follow --live-capacity-videos --shards 8`: the daemon
+        boots the arena row-sharded over the corpus mesh, absorbs an
+        `!add`, and answers every query exactly like the unsharded live
+        daemon (hierarchical sharded top-k == single-device exact)."""
+        import io
+        import json
+
+        from vfr_tpu.cli import main
+
+        rc = main([
+            "train", "--preset", "didemo_rgb",
+            "--data-dir", str(tmp_path / "none"),
+            "--checkpoint-dir", str(tmp_path / "ck"),
+            "--batch-size", "12", "--epochs", "2",
+        ])
+        assert rc == 0
+        capsys.readouterr()
+        rng = np.random.default_rng(44)
+        delta = tmp_path / "delta.npz"
+        np.savez(delta,
+                 video_ids=np.asarray([f"grow{i:04d}" for i in range(3)]),
+                 rgb=rng.standard_normal((3, 6, 2048)).astype(np.float32))
+        stdin = f"w0001 w0002\n!add {delta}\nw0003 w0004\n"
+
+        def run(extra):
+            monkeypatch.setattr("sys.stdin", io.StringIO(stdin))
+            rc = main([
+                "serve", "--preset", "didemo_rgb",
+                "--data-dir", str(tmp_path / "none"),
+                "--checkpoint-dir", str(tmp_path / "ck"),
+                "--queries", "-", "--follow", "--topk", "3",
+                "--live-capacity-videos", "32", *extra,
+            ])
+            assert rc == 0
+            return [json.loads(l) for l in
+                    capsys.readouterr().out.splitlines() if l.strip()]
+
+        plain = run([])
+        sharded = run(["--shards", "8"])
+        assert len(sharded) == len(plain) == 3
+        assert sharded[1]["added_rows"] == plain[1]["added_rows"] == 3 * 21
+        for a, b in zip(sharded, plain):
+            if "results" not in a:
+                continue
+            assert [ (r["video"], r["start"], r["end"]) for r in a["results"] ] \
+                == [ (r["video"], r["start"], r["end"]) for r in b["results"] ]
+            for ra, rb in zip(a["results"], b["results"]):
+                assert abs(ra["distance"] - rb["distance"]) < 1e-4
+
+
+class TestArenaMaintenance:
+    """`live_compact` (reclaim tombstones, free ids, zero recompiles) and
+    `live_grow` (capacity growth, ONE documented recompile), single-device
+    and sharded, plus the !compact/!grow daemon control lines."""
+
+    def test_compact_reclaims_frees_ids_and_matches_rebuild(self, setup):
+        from types import SimpleNamespace
+
+        from vfr_tpu.eval.live import live_compact, live_remove
+
+        cfg, model, params, ds, ds2, toks, lens = setup
+        k = 8
+        live = make_live_index(params, model, ds, capacity_videos=24)
+        v_base = live.num_videos          # the arena's actual base corpus
+        live_append(live, params, model, ds, ds2.video_ids,
+                    ds2.rgb_feats, ds2.flow_feats)
+        victims = [ds.video_ids[2], ds.video_ids[7]]
+        live_remove(live, victims)
+        free_before = live.free_rows
+        n = live_compact(live)
+        assert n == 2 * ds.num_proposals
+        assert live.free_rows == free_before + n
+        assert live.num_videos == v_base + len(ds2.video_ids) - 2
+        assert victims[0] not in live.video_ids
+        # surviving rows pack to the front in original order -> the arena
+        # is bit-identical (row ids included) to a fresh build over the
+        # surviving corpus
+        keep = [i for i in range(v_base) if i not in (2, 7)]
+        surv = SimpleNamespace(
+            video_ids=[ds.video_ids[i] for i in keep] + list(ds2.video_ids),
+            rgb_feats=np.concatenate([ds.rgb_feats[keep], ds2.rgb_feats]),
+            flow_feats=np.concatenate([ds.flow_feats[keep], ds2.flow_feats]),
+            num_proposals=ds.num_proposals,
+            span_seconds=ds.span_seconds,
+        )
+        fresh = make_live_index(params, model, surv, capacity_videos=24)
+        r_live = make_live_retriever(model, live, k, topk_method="exact")
+        r_ref = make_live_retriever(model, fresh, k, topk_method="exact")
+        d1, rows1 = r_live(params, toks, lens)
+        d2, rows2 = r_ref(params, toks, lens)
+        np.testing.assert_array_equal(np.asarray(rows1), np.asarray(rows2))
+        np.testing.assert_allclose(np.asarray(d1), np.asarray(d2),
+                                   rtol=1e-5, atol=1e-6)
+        # compaction freed the id: the removed video can be re-added
+        live_append(live, params, model, ds, [victims[0]],
+                    ds.rgb_feats[2:3], ds.flow_feats[2:3])
+        assert live.num_videos == v_base + len(ds2.video_ids) - 1
+        # and a no-op compact reports 0
+        assert live_compact(live) == 0
+
+    def test_compact_zero_retriever_recompiles(self, setup):
+        from vfr_tpu.eval.corpus import make_operand_retriever
+        from vfr_tpu.eval.live import live_compact, live_remove
+
+        cfg, model, params, ds, ds2, toks, lens = setup
+        k = 5
+        live = make_live_index(params, model, ds, capacity_videos=20)
+        retrieve = make_live_retriever(model, live, k, topk_method="exact")
+        retrieve(params, toks, lens)
+        fn = make_operand_retriever(model, live.weights, k,
+                                    topk_method="exact")
+        n_before = fn._cache_size()
+        live_remove(live, [ds.video_ids[0]])
+        live_compact(live)
+        _, rows = retrieve(params, toks, lens)
+        assert np.asarray(rows).max() < live.used_rows
+        assert fn._cache_size() == n_before
+
+    def test_grow_one_recompile_appends_beyond_old_capacity(self, setup):
+        from types import SimpleNamespace
+
+        from vfr_tpu.eval.corpus import make_operand_retriever
+        from vfr_tpu.eval.live import live_grow
+
+        cfg, model, params, ds, ds2, toks, lens = setup
+        k = 6
+        live = make_live_index(params, model, ds, capacity_videos=13)
+        retrieve = make_live_retriever(model, live, k, topk_method="exact")
+        retrieve(params, toks, lens)
+        fn = make_operand_retriever(model, live.weights, k,
+                                    topk_method="exact")
+        n_before = fn._cache_size()
+        with pytest.raises(ValueError, match="exceeds capacity"):
+            live_append(live, params, model, ds, ds2.video_ids,
+                        ds2.rgb_feats, ds2.flow_feats)
+        new_cap = live_grow(live, 20)
+        assert new_cap == 20 * ds.num_proposals == live.capacity
+        assert live.video_row.shape[0] == live.capacity
+        live_append(live, params, model, ds, ds2.video_ids,
+                    ds2.rgb_feats, ds2.flow_feats)
+        d1, rows1 = retrieve(params, toks, lens)
+        # exactly ONE new program: the capacity shape changed once
+        assert fn._cache_size() == n_before + 1
+        both = SimpleNamespace(
+            video_ids=list(ds.video_ids) + list(ds2.video_ids),
+            rgb_feats=np.concatenate([ds.rgb_feats, ds2.rgb_feats]),
+            flow_feats=np.concatenate([ds.flow_feats, ds2.flow_feats]),
+            num_proposals=ds.num_proposals,
+            span_seconds=ds.span_seconds,
+        )
+        fresh = make_live_index(params, model, both, capacity_videos=20)
+        d2, rows2 = make_live_retriever(model, fresh, k,
+                                        topk_method="exact")(
+            params, toks, lens)
+        np.testing.assert_array_equal(np.asarray(rows1), np.asarray(rows2))
+        # shrink is rejected, equal capacity is a no-op
+        with pytest.raises(ValueError, match="cannot shrink"):
+            live_grow(live, 5)
+        assert live_grow(live, 20) == live.capacity
+
+    def test_sharded_compact_and_grow_match_single_device(self, setup,
+                                                          devices8):
+        from vfr_tpu.eval.live import live_compact, live_grow, live_remove
+        from vfr_tpu.parallel.mesh import make_mesh
+
+        cfg, model, params, ds, ds2, toks, lens = setup
+        mesh = make_mesh(("corpus",), devices=devices8)
+        k = 7
+        arenas = []
+        for m in (mesh, None):
+            live = make_live_index(params, model, ds, capacity_videos=16,
+                                   mesh=m)
+            live_remove(live, [ds.video_ids[1], ds.video_ids[4]])
+            assert live_compact(live) == 2 * ds.num_proposals
+            grown = live_grow(live, 24)
+            assert grown % (1 if m is None else 8) == 0
+            live_append(live, params, model, ds, ds2.video_ids,
+                        ds2.rgb_feats, ds2.flow_feats)
+            r = make_live_retriever(model, live, k, topk_method="exact")
+            arenas.append(r(params, toks, lens))
+        (d_s, rows_s), (d_1, rows_1) = arenas
+        np.testing.assert_array_equal(np.asarray(rows_s),
+                                      np.asarray(rows_1))
+        np.testing.assert_allclose(np.asarray(d_s), np.asarray(d_1),
+                                   rtol=1e-4, atol=1e-5)
+
+    def test_follow_compact_grow_control_lines(self, tmp_path, capsys,
+                                               monkeypatch):
+        """Daemon lifecycle: !remove -> !compact reclaims and reports, a
+        too-big !add fails gracefully, !grow raises capacity, the same
+        !add then succeeds, and queries keep answering throughout."""
+        import io
+        import json
+
+        from vfr_tpu.cli import main
+
+        rc = main([
+            "train", "--preset", "didemo_rgb",
+            "--data-dir", str(tmp_path / "none"),
+            "--checkpoint-dir", str(tmp_path / "ck"),
+            "--batch-size", "12", "--epochs", "2",
+        ])
+        assert rc == 0
+        capsys.readouterr()
+        rng = np.random.default_rng(5)
+        rgb4 = rng.standard_normal((4, 6, 2048)).astype(np.float32)
+        delta = tmp_path / "delta.npz"
+        np.savez(delta,
+                 video_ids=np.asarray([f"grow{i:04d}" for i in range(4)]),
+                 rgb=rgb4)
+        delta3 = tmp_path / "delta3.npz"   # the first 3 ids again
+        np.savez(delta3,
+                 video_ids=np.asarray([f"grow{i:04d}" for i in range(3)]),
+                 rgb=rgb4[:3])
+        stdin = ("w0001 w0002\n"
+                 f"!add {delta}\n"          # 4 videos > 1 free -> error ack
+                 "!grow 21\n"               # capacity 18 -> 21 videos
+                 f"!add {delta}\n"          # now fits exactly
+                 "!remove grow0000 grow0001 grow0002\n"
+                 "!compact\n"               # reclaims 3 slots + the ids
+                 f"!add {delta3}\n"         # re-add proves ids were freed
+                 "w0003 w0004\n")
+        monkeypatch.setattr("sys.stdin", io.StringIO(stdin))
+        rc = main([
+            "serve", "--preset", "didemo_rgb",
+            "--data-dir", str(tmp_path / "none"),
+            "--checkpoint-dir", str(tmp_path / "ck"),
+            "--queries", "-", "--follow", "--topk", "3",
+            "--live-capacity-videos", "18",   # serving corpus: 17 videos
+        ])
+        assert rc == 0
+        recs = [json.loads(l) for l in
+                capsys.readouterr().out.splitlines() if l.strip()]
+        assert len(recs) == 8
+        assert "error" in recs[1]
+        assert "exceeds capacity" in recs[1]["error"]
+        assert recs[2]["capacity_rows"] == 21 * 21
+        assert recs[3]["added_rows"] == 4 * 21
+        assert recs[3]["num_videos"] == 17 + 4
+        assert recs[4]["removed_rows"] == 3 * 21
+        assert recs[5]["reclaimed_rows"] == 3 * 21
+        assert recs[5]["num_videos"] == 18
+        assert recs[6]["added_rows"] == 3 * 21
+        assert recs[6]["num_videos"] == 21
+        for rec in (recs[0], recs[7]):
+            assert len(rec["results"]) == 3

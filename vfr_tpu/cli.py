@@ -139,12 +139,16 @@ def build_parser() -> argparse.ArgumentParser:
                         "keeps every prior !add/!remove")
     s.add_argument("--live-capacity-videos", type=int, default=0,
                    help="--follow only: serve from a capacity-padded LIVE "
-                        "index that grows while the daemon runs — input "
+                        "index that grows while the daemon runs — control "
                         "lines '!add <delta.npz>' (video_ids + rgb[/flow/"
-                        "durations] arrays) append new videos in-process "
-                        "with zero recompiles (eval/live.py). Value = max "
-                        "corpus size in videos. Single-device, exact scan "
-                        "only.")
+                        "durations] arrays), '!remove <id> ...', '!save "
+                        "<path>', '!compact' (reclaim tombstones + free "
+                        "ids), '!grow <capacity_videos>' (one retriever "
+                        "recompile). Appends/removes/compaction never "
+                        "recompile (eval/live.py). Value = initial max "
+                        "corpus size in videos. Composes with --shards "
+                        "(row-sharded arena); exact/approx scan (no "
+                        "coarse/--index-path).")
     s.add_argument("--micro-batch", type=int, default=8,
                    help="--follow only: max queries packed into one "
                         "dispatch. Per-request cost on this runtime is "
@@ -369,21 +373,24 @@ def main(argv=None) -> int:
             if args.live_capacity_videos > 0 or args.live_arena:
                 from vfr_tpu.eval.live import load_arena, make_live_index
 
-                if mesh is not None or index is not None or \
+                if index is not None or \
                         coarse_kw.get("coarse") is not None:
-                    print("error: live serving is single-device "
-                          "exact serving (no --shards/--index-path/"
-                          "--coarse-path)", file=sys.stderr)
+                    print("error: live serving is exact serving over its "
+                          "own arena (no --index-path/--coarse-path)",
+                          file=sys.stderr)
                     return 2
+                # --shards composes: the arena is built/loaded row-sharded
+                # over the corpus mesh and grows there (eval/live.py)
                 if args.live_arena:
                     live = load_arena(args.live_arena, params=params,
-                                      model=model)
+                                      model=model, mesh=mesh)
                 else:
                     live = make_live_index(
                         params, model, bundle.val,
                         capacity_videos=args.live_capacity_videos,
                         num_videos=cfg.eval.corpus_num_videos,
-                        index_dtype=cfg.eval.index_dtype)
+                        index_dtype=cfg.eval.index_dtype,
+                        mesh=mesh)
             with contextlib.ExitStack() as stack:
                 if args.queries == "-":
                     src = sys.stdin

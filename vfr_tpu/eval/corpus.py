@@ -478,18 +478,10 @@ def make_retriever(
         mesh, jax.sharding.PartitionSpec(axis, None)))
     msq_fused = jax.device_put(msq_fused, jax.sharding.NamedSharding(
         mesh, jax.sharding.PartitionSpec(axis)))
-    weights = index.weights
 
-    # operands as jit args (not captured constants) here too — the
-    # sharded index is exactly the configuration large corpora use
-    @jax.jit
-    def _retrieve(m_cat, msq_fused, params, tokens, lengths):
-        qs = _embed_query_streams(params, model, tokens, lengths, rnn_kernel)
-        return sharded_corpus_topk_cat(
-            mesh, qs, m_cat, msq_fused, weights, k, axis=axis,
-            compute_dtype=compute_dtype, method=topk_method,
-            recall=approx_recall,
-        )
+    _retrieve = make_sharded_operand_retriever(
+        model, index.weights, k, mesh, axis=axis, topk_method=topk_method,
+        approx_recall=approx_recall, rnn_kernel=rnn_kernel)
 
     def retrieve(params, tokens, lengths):
         return _retrieve(m_cat, msq_fused, params, tokens, lengths)
@@ -531,6 +523,46 @@ def make_operand_retriever(
                                       approx_recall)
             dists = query_sq_const(qs, w)[:, None] - vals
             return dists, rows
+
+        _JIT_CACHE[cache_key] = _retrieve
+    return _retrieve
+
+
+def make_sharded_operand_retriever(
+    model: Model,
+    weights,
+    k: int,
+    mesh: jax.sharding.Mesh,
+    axis: str = "corpus",
+    topk_method: str = "exact",
+    approx_recall: float = 0.95,
+    rnn_kernel=None,
+):
+    """``make_operand_retriever``'s ICI twin: jitted ``(m_cat [N, S*d]
+    sharded P(axis, None), msq_fused [N] sharded P(axis), params, tokens,
+    lengths) -> (dists [Q, k], rows [Q, k])`` via the hierarchical sharded
+    top-k (local top-k + all-gather merge).  Operands ride as jit
+    arguments, so the sharded live arena (eval/live.py) passes its
+    post-append buffers into the already-compiled program — online corpus
+    growth stays recompile-free on a mesh too.  Cached per (model, mesh,
+    retrieval config); jax.sharding.Mesh hashes by devices+axis names."""
+    compute_dtype = model.compute_dtype
+    cache_key = ("sharded_retrieve", _query_model_key(model), k, mesh, axis,
+                 topk_method, approx_recall, rnn_kernel,
+                 tuple(np.asarray(weights).tolist()))
+    _retrieve = _JIT_CACHE.get(cache_key)
+    if _retrieve is None:
+        w = np.asarray(weights, np.float32)
+
+        @jax.jit
+        def _retrieve(m_cat, msq_fused, params, tokens, lengths):
+            qs = _embed_query_streams(params, model, tokens, lengths,
+                                      rnn_kernel)
+            return sharded_corpus_topk_cat(
+                mesh, qs, m_cat, msq_fused, w, k, axis=axis,
+                compute_dtype=compute_dtype, method=topk_method,
+                recall=approx_recall,
+            )
 
         _JIT_CACHE[cache_key] = _retrieve
     return _retrieve
@@ -874,17 +906,23 @@ def serve_follow(
     from vfr_tpu.data.glove import tokenize
 
     if live is not None:
-        if mesh is not None or coarse is not None or coarse_dim > 0:
-            raise ValueError("live-growth serving is single-device and "
-                             "exact (no mesh/coarse)")
+        if coarse is not None or coarse_dim > 0:
+            raise ValueError("live-growth serving is exact (no coarse)")
+        if mesh is not None and live.mesh is not mesh:
+            raise ValueError("live-growth serving on a mesh needs the "
+                             "arena built on that mesh (make_live_index/"
+                             "load_arena mesh=...)")
         from vfr_tpu.eval.live import make_live_retriever
 
+        # a sharded arena retrieves via its own mesh (live.mesh)
         retrieve = make_live_retriever(model, live, k,
                                        topk_method=topk_method,
                                        approx_recall=approx_recall)
-        # result mapping reads the ARENA's metadata (it grows with !add)
-        video_ids = live.video_ids
-        row_video, spans_sec = live.video_row, live.spans_sec
+        # result mapping reads the ARENA's metadata at FETCH time: !add
+        # grows it in place, and !grow REALLOCATES the arrays (capacity
+        # changed), so captured references would go stale
+        def _tables():
+            return live.video_ids, live.video_row, live.spans_sec
     else:
         owns_index = index is None
         if owns_index:
@@ -926,6 +964,9 @@ def serve_follow(
             index.m, index.m_sq = None, None
         video_ids = dataset.video_ids
         row_video, spans_sec = index.video_row, index.spans_sec
+
+        def _tables():
+            return video_ids, row_video, spans_sec
 
     _DONE = object()
     # Bounded: the reader must not slurp an arbitrarily long input (a
@@ -993,14 +1034,15 @@ def serve_follow(
     def _fetch(job):
         texts, d, rows = job
         d, rows = np.asarray(d), np.asarray(rows)      # the ~100 ms fetch
+        vids, row_vid, spans = _tables()
         for i, text in enumerate(texts):
             yield {
                 "query": text,
                 "results": [
                     {
-                        "video": video_ids[int(row_video[r])],
-                        "start": float(spans_sec[r, 0]),
-                        "end": float(spans_sec[r, 1]),
+                        "video": vids[int(row_vid[r])],
+                        "start": float(spans[r, 0]),
+                        "end": float(spans[r, 1]),
                         "distance": float(d[i, j]),
                     }
                     for j, r in enumerate(rows[i])
@@ -1034,9 +1076,26 @@ def serve_follow(
                                  params=params, model=model)
                 return {"command": line, "saved": out,
                         "num_videos": live.num_videos}
+            if line.strip() == "!compact":
+                from vfr_tpu.eval.live import live_compact
+
+                n = live_compact(live)
+                return {"command": line, "reclaimed_rows": int(n),
+                        "num_videos": live.num_videos,
+                        "free_rows": live.free_rows}
+            if line.startswith("!grow "):
+                from vfr_tpu.eval.live import live_grow
+
+                cap_v = int(line[len("!grow "):].strip())
+                live_grow(live, cap_v)
+                return {"command": line, "capacity_rows": live.capacity,
+                        "free_rows": live.free_rows,
+                        "note": "next retrieval compiles once for the "
+                                "new capacity"}
             raise ValueError(f"unknown control line {line.split()[0]!r}"
                              " (supported: !add <delta.npz>, "
-                             "!remove <video_id> [...], !save <path>)")
+                             "!remove <video_id> [...], !save <path>, "
+                             "!compact, !grow <capacity_videos>)")
         except Exception as e:   # a bad delta must not kill the daemon
             return {"command": line, "error": str(e)}
 

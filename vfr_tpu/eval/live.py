@@ -42,6 +42,7 @@ from vfr_tpu.eval.corpus import (
     _JIT_CACHE,
     build_moment_index,
     make_operand_retriever,
+    make_sharded_operand_retriever,
 )
 from vfr_tpu.models.mcn import Model
 from vfr_tpu.parallel.sharding import fuse_index_cat
@@ -51,7 +52,14 @@ _INVALID = 1e29
 
 @dataclass
 class LiveIndex:
-    """Capacity-padded one-matmul index whose row region grows in place."""
+    """Capacity-padded one-matmul index whose row region grows in place.
+
+    With ``mesh`` the operands live row-sharded over the mesh's corpus
+    axis (P(axis, None) / P(axis)) and retrieval runs the hierarchical
+    sharded top-k — online growth composes with ICI corpus sharding, the
+    workload's scale axis (SURVEY §5).  Appends stay O(delta): the splice
+    is a shard_map body where each shard patches only its overlap with
+    the update window (see ``live_append``)."""
     m_cat: jnp.ndarray       # [cap, S*d] carrier dtype (f32 or bf16)
     msq_fused: jnp.ndarray   # [cap] f32; +1e30 past used_rows / invalid
     video_row: np.ndarray    # [cap] int32 (-1 on free rows)
@@ -63,6 +71,8 @@ class LiveIndex:
     rows_per_video: int
     index_dtype: str         # quantization applied to stored rows
     fingerprint: Optional[Dict] = field(default=None)
+    mesh: Optional[jax.sharding.Mesh] = field(default=None)
+    axis: str = "corpus"
 
     @property
     def capacity(self) -> int:
@@ -76,6 +86,17 @@ class LiveIndex:
     def free_rows(self) -> int:
         return self.capacity - self.used_rows
 
+    @property
+    def rows_per_shard(self) -> int:
+        ndev = 1 if self.mesh is None else self.mesh.shape[self.axis]
+        return self.capacity // ndev
+
+
+def _arena_shardings(mesh, axis):
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    return (NamedSharding(mesh, P(axis, None)), NamedSharding(mesh, P(axis)))
+
 
 def _index_operands(index, carrier) -> tuple:
     m_cat, msq_fused = fuse_index_cat(index.m, index.m_sq, index.weights)
@@ -88,8 +109,15 @@ def make_live_index(
     num_videos: int = 0,
     index_dtype: str = "float32",
     feature_banks: Optional[Dict] = None,
+    mesh: Optional[jax.sharding.Mesh] = None,
+    axis: str = "corpus",
 ) -> LiveIndex:
-    """Build the initial corpus into a ``capacity_videos``-sized arena."""
+    """Build the initial corpus into a ``capacity_videos``-sized arena.
+
+    With ``mesh`` the capacity is rounded up to a multiple of the corpus
+    axis size (the extra rows are ordinary free rows) and the operands are
+    placed row-sharded; everything else — append/remove/save semantics —
+    is identical to the single-device arena."""
     index = build_moment_index(params, model, dataset,
                                num_videos=num_videos,
                                index_dtype=index_dtype,
@@ -101,6 +129,13 @@ def make_live_index(
         raise ValueError(
             f"capacity_videos={capacity_videos} < initial corpus ({V})")
     cap = capacity_videos * P
+    if mesh is not None:
+        ndev = mesh.shape[axis]
+        if capacity_videos < ndev:
+            raise ValueError(
+                f"capacity_videos={capacity_videos} < mesh corpus axis "
+                f"({ndev}): each shard must hold at least one video")
+        cap += (-cap) % ndev
     used = index.num_rows
     # carrier matches build_moment_index's storage dtype: the stored rows
     # were already quantized there, so this cast is exact either way
@@ -118,9 +153,15 @@ def make_live_index(
     prop_idx[:used] = index.prop_idx
     spans_sec = np.zeros((cap, 2), np.float32)
     spans_sec[:used] = index.spans_sec
+    if mesh is None:
+        m_cat, msq_fused = jax.device_put(m_cat), jax.device_put(msq_fused)
+    else:
+        sh_m, sh_sq = _arena_shardings(mesh, axis)
+        m_cat = jax.device_put(m_cat, sh_m)
+        msq_fused = jax.device_put(msq_fused, sh_sq)
     return LiveIndex(
-        m_cat=jax.device_put(m_cat),
-        msq_fused=jax.device_put(msq_fused),
+        m_cat=m_cat,
+        msq_fused=msq_fused,
         video_row=video_row,
         prop_idx=prop_idx,
         spans_sec=spans_sec,
@@ -129,6 +170,8 @@ def make_live_index(
         used_rows=used,
         rows_per_video=P,
         index_dtype=index_dtype,
+        mesh=mesh,
+        axis=axis,
     )
 
 
@@ -176,6 +219,38 @@ def delta_corpus(dataset, video_ids, rgb, flow=None, durations=None):
     return shim
 
 
+def _make_sharded_splice(mesh, axis):
+    """shard_map splice: write the replicated delta [n, D] into the
+    row-sharded arena at global row ``start``.  Each shard slices one
+    n-row window positioned to cover its overlap with [start, start+n)
+    (clamped to the shard), substitutes delta rows where the window's
+    global row falls in the update range, and writes the window back —
+    O(n) work per shard, no collectives.  Requires n <= rows_per_shard
+    (live_append splits larger deltas host-side)."""
+    from jax.sharding import PartitionSpec as P
+
+    def body(m_loc, sq_loc, d_cat, d_sq, start):
+        n_loc = m_loc.shape[0]
+        n = d_cat.shape[0]
+        row0 = jnp.int32(jax.lax.axis_index(axis)) * n_loc
+        ls = jnp.clip(start - row0, 0, n_loc - n)     # window local start
+        g = row0 + ls + jnp.arange(n, dtype=jnp.int32)  # window global rows
+        sel = (g >= start) & (g < start + n)
+        didx = jnp.clip(g - start, 0, n - 1)
+        win_m = jax.lax.dynamic_slice(m_loc, (ls, 0), (n, m_loc.shape[1]))
+        win_m = jnp.where(sel[:, None], d_cat[didx], win_m)
+        win_sq = jax.lax.dynamic_slice(sq_loc, (ls,), (n,))
+        win_sq = jnp.where(sel, d_sq[didx], win_sq)
+        return (jax.lax.dynamic_update_slice(m_loc, win_m, (ls, 0)),
+                jax.lax.dynamic_update_slice(sq_loc, win_sq, (ls,)))
+
+    return jax.shard_map(
+        body, mesh=mesh,
+        in_specs=(P(axis, None), P(axis), P(), P(), P()),
+        out_specs=(P(axis, None), P(axis)),
+    )
+
+
 def live_append(
     live: LiveIndex, params, model: Model, dataset,
     video_ids, rgb, flow=None, durations=None,
@@ -183,10 +258,35 @@ def live_append(
     """Embed new videos and splice them into the arena IN PLACE (device:
     donated dynamic_update_slice; host: np writes into the padded
     metadata).  Returns the number of rows appended.  O(delta) work and
-    bytes; the retriever program is untouched (same operand shapes)."""
+    bytes; the retriever program is untouched (same operand shapes).
+
+    Sharded arena: the splice runs under ``shard_map`` — each shard
+    dynamic-slices an n-row window that covers its overlap with
+    [start, start+n), selects delta rows into it, and writes it back, so
+    the append stays O(delta) per shard with no cross-shard traffic (the
+    delta is replicated; a plain global dynamic_update_slice would leave
+    the partitioning strategy to GSPMD).  Deltas larger than one shard's
+    row block are split at video granularity host-side."""
+    taken = set(live.video_ids)
     for v in video_ids:
-        if v in set(live.video_ids):
+        if v in taken:
             raise ValueError(f"video {v!r} is already in the corpus")
+    video_ids = list(video_ids)
+    if live.mesh is not None:
+        max_v = live.rows_per_shard // live.rows_per_video
+        if len(video_ids) > max_v:
+            rgb = np.asarray(rgb)
+            flow_a = None if flow is None else np.asarray(flow)
+            dur_a = None if durations is None else np.asarray(durations)
+            total = 0
+            for lo in range(0, len(video_ids), max_v):
+                hi = lo + max_v
+                total += live_append(
+                    live, params, model, dataset, video_ids[lo:hi],
+                    rgb[lo:hi],
+                    flow=None if flow_a is None else flow_a[lo:hi],
+                    durations=None if dur_a is None else dur_a[lo:hi])
+            return total
     shim = delta_corpus(dataset, video_ids, rgb, flow=flow,
                         durations=durations)
     delta = build_moment_index(params, model, shim,
@@ -196,23 +296,27 @@ def live_append(
     if n > live.free_rows:
         raise ValueError(
             f"append of {n} rows exceeds capacity: {live.free_rows} free "
-            f"of {live.capacity} (grow --live-capacity-videos)")
+            f"of {live.capacity} (reclaim with live_compact/!compact or "
+            "grow with live_grow/!grow)")
     if not np.allclose(np.asarray(delta.weights),
                        np.asarray(live.weights)):
         raise ValueError("stream weights changed between build and append")
     d_cat, d_sq = _index_operands(delta, live.m_cat.dtype)
 
     upd_key = ("live_update", live.m_cat.shape, live.m_cat.dtype,
-               d_cat.shape)
+               d_cat.shape, live.mesh, live.axis)
     _update = _JIT_CACHE.get(upd_key)
     if _update is None:
         # donation makes the splice in-place in HBM: no 2x-capacity copy,
         # and the returned buffers alias the arena
-        def _update_fn(m_cat, msq, d_cat, d_sq, start):
-            return (
-                jax.lax.dynamic_update_slice(m_cat, d_cat, (start, 0)),
-                jax.lax.dynamic_update_slice(msq, d_sq, (start,)),
-            )
+        if live.mesh is None:
+            def _update_fn(m_cat, msq, d_cat, d_sq, start):
+                return (
+                    jax.lax.dynamic_update_slice(m_cat, d_cat, (start, 0)),
+                    jax.lax.dynamic_update_slice(msq, d_sq, (start,)),
+                )
+        else:
+            _update_fn = _make_sharded_splice(live.mesh, live.axis)
 
         _update = jax.jit(_update_fn, donate_argnums=(0, 1))
         _JIT_CACHE[upd_key] = _update
@@ -232,9 +336,10 @@ def live_append(
 def live_remove(live: LiveIndex, video_ids) -> int:
     """Tombstone videos: their rows get msq = +1e30 (the universal
     never-retrievable guard), taking effect on the next retrieval with —
-    like appends — zero recompiles.  Capacity is NOT reclaimed (rows stay
-    tombstoned; the id stays taken, so a re-add of the same id is
-    rejected — rebuild the arena to compact).  Returns rows removed."""
+    like appends — zero recompiles.  Capacity is NOT reclaimed here (rows
+    stay tombstoned; the id stays taken, so a re-add of the same id is
+    rejected) — ``live_compact`` reclaims tombstones and frees the ids.
+    Returns rows removed."""
     vset = {}
     for v in video_ids:
         try:
@@ -247,17 +352,138 @@ def live_remove(live: LiveIndex, video_ids) -> int:
     full = np.zeros(live.capacity, bool)
     full[:live.used_rows] = mask
 
-    rm_key = ("live_remove", live.msq_fused.shape)
+    rm_key = ("live_remove", live.msq_fused.shape, live.mesh, live.axis)
     _remove = _JIT_CACHE.get(rm_key)
     if _remove is None:
         def _remove_fn(msq, mask):
             return jnp.where(mask, 1e30, msq)
 
+        # elementwise over the (possibly sharded) msq column: with a mesh
+        # the mask rides in pre-sharded so each shard touches only its rows
         _remove = jax.jit(_remove_fn, donate_argnums=(0,))
         _JIT_CACHE[rm_key] = _remove
 
-    live.msq_fused = _remove(live.msq_fused, jnp.asarray(full))
+    mask_dev = jnp.asarray(full)
+    if live.mesh is not None:
+        mask_dev = jax.device_put(mask_dev,
+                                  _arena_shardings(live.mesh, live.axis)[1])
+    live.msq_fused = _remove(live.msq_fused, mask_dev)
     return int(mask.sum())
+
+
+def live_compact(live: LiveIndex) -> int:
+    """Reclaim tombstoned rows IN PLACE: pack the surviving rows to the
+    front of the arena (original order preserved), renumber videos
+    contiguously, and drop removed ids — freeing their capacity AND
+    making the ids re-addable.  Returns rows reclaimed.
+
+    Zero recompiles: the gather runs at fixed capacity shape, and the
+    retriever/splice programs are capacity-shaped so they are reused
+    untouched.  Cost is O(capacity) (a full-arena gather; on a mesh GSPMD
+    routes the cross-shard row moves over ICI) — a maintenance operation,
+    not a per-request one.  Tombstones are identified from the arena
+    itself (msq >= 1e29, the universal invalid-row guard), so compaction
+    works on loaded snapshots too; `live_remove` tombstones all rows of a
+    video, so survival is all-or-nothing per video."""
+    msq_host = np.asarray(live.msq_fused)        # [cap] f32 — a tiny fetch
+    used = live.used_rows
+    keep = msq_host[:used] < _INVALID
+    n_keep = int(keep.sum())
+    reclaimed = used - n_keep
+    if reclaimed == 0:
+        return 0
+    kept_rows = np.nonzero(keep)[0].astype(np.int32)
+    old_vids = live.video_row[:used][keep]
+    surviving = np.unique(old_vids)              # sorted == original order
+    remap = np.full(live.num_videos, -1, np.int32)
+    remap[surviving] = np.arange(len(surviving), dtype=np.int32)
+
+    key = ("live_compact", live.m_cat.shape, live.m_cat.dtype,
+           live.mesh, live.axis)
+    _compact = _JIT_CACHE.get(key)
+    if _compact is None:
+        def _fn(m_cat, msq, perm, n_keep):
+            m2 = jnp.take(m_cat, perm, axis=0)
+            sq2 = jnp.take(msq, perm)
+            row = jnp.arange(perm.shape[0], dtype=jnp.int32)
+            return m2, jnp.where(row < n_keep, sq2, 1e30)
+
+        if live.mesh is None:
+            _compact = jax.jit(_fn, donate_argnums=(0, 1))
+        else:
+            _compact = jax.jit(_fn, donate_argnums=(0, 1),
+                               out_shardings=_arena_shardings(
+                                   live.mesh, live.axis))
+        _JIT_CACHE[key] = _compact
+
+    perm = np.zeros(live.capacity, np.int32)
+    perm[:n_keep] = kept_rows
+    live.m_cat, live.msq_fused = _compact(
+        live.m_cat, live.msq_fused, jnp.asarray(perm), jnp.int32(n_keep))
+    # host metadata permutes IN PLACE (fancy-index RHS copies first), so a
+    # running daemon's references to these arrays stay valid
+    live.video_row[:n_keep] = remap[old_vids]
+    live.video_row[n_keep:] = -1
+    live.prop_idx[:n_keep] = live.prop_idx[kept_rows]
+    live.prop_idx[n_keep:] = 0
+    live.spans_sec[:n_keep] = live.spans_sec[kept_rows]
+    live.spans_sec[n_keep:] = 0
+    live.video_ids[:] = [live.video_ids[int(v)] for v in surviving]
+    live.used_rows = n_keep
+    return reclaimed
+
+
+def live_grow(live: LiveIndex, capacity_videos: int) -> int:
+    """Grow the arena's capacity IN PLACE to ``capacity_videos`` (rounded
+    up to the mesh axis on a sharded arena).  Returns the new capacity in
+    rows.  This is the ONE live-index operation that changes operand
+    shapes, so the next retrieval (and the next append at a new delta
+    shape) compiles once — a documented, operator-initiated cost, unlike
+    the per-event recompiles a rebuild-the-retriever design would pay.
+    The device op is a pad-concatenate (O(capacity) copy; on a mesh GSPMD
+    redistributes rows so every shard holds new_cap/ndev)."""
+    new_cap = capacity_videos * live.rows_per_video
+    if live.mesh is not None:
+        new_cap += (-new_cap) % live.mesh.shape[live.axis]
+    if new_cap < live.capacity:
+        raise ValueError(
+            f"cannot shrink: capacity_videos={capacity_videos} -> "
+            f"{new_cap} rows < current {live.capacity} (reclaim tombstones "
+            "with live_compact instead)")
+    if new_cap == live.capacity:
+        return live.capacity
+    pad = new_cap - live.capacity
+
+    key = ("live_grow", live.m_cat.shape, live.m_cat.dtype, pad,
+           live.mesh, live.axis)
+    _grow = _JIT_CACHE.get(key)
+    if _grow is None:
+        def _fn(m_cat, msq):
+            return (
+                jnp.concatenate(
+                    [m_cat, jnp.zeros((pad, m_cat.shape[1]), m_cat.dtype)]),
+                jnp.concatenate([msq, jnp.full((pad,), 1e30, jnp.float32)]),
+            )
+
+        # no donation: a concatenate into a LARGER buffer can never alias
+        # its input (donating would just emit a warning per call)
+        if live.mesh is None:
+            _grow = jax.jit(_fn)
+        else:
+            _grow = jax.jit(_fn, out_shardings=_arena_shardings(
+                live.mesh, live.axis))
+        _JIT_CACHE[key] = _grow
+
+    live.m_cat, live.msq_fused = _grow(live.m_cat, live.msq_fused)
+    # metadata arrays are REALLOCATED (capacity changed): readers must go
+    # through the LiveIndex object, not hold references to the old arrays
+    live.video_row = np.concatenate(
+        [live.video_row, np.full(pad, -1, np.int32)])
+    live.prop_idx = np.concatenate(
+        [live.prop_idx, np.zeros(pad, np.int32)])
+    live.spans_sec = np.concatenate(
+        [live.spans_sec, np.zeros((pad, 2), np.float32)])
+    return new_cap
 
 
 def save_arena(live: LiveIndex, path: str, params=None, model=None) -> str:
@@ -296,28 +522,58 @@ def save_arena(live: LiveIndex, path: str, params=None, model=None) -> str:
     return path
 
 
-def load_arena(path: str, params=None, model=None) -> LiveIndex:
+def load_arena(path: str, params=None, model=None,
+               mesh: Optional[jax.sharding.Mesh] = None,
+               axis: str = "corpus") -> LiveIndex:
     """Inverse of ``save_arena``.  With ``params``/``model`` the stored
     fingerprint (if any) is validated — a snapshot from a different
-    checkpoint or corpus fails loudly instead of serving wrong moments."""
+    checkpoint or corpus fails loudly instead of serving wrong moments.
+    With ``mesh`` the arena comes back row-sharded (capacity padded up to
+    a multiple of the corpus axis with free rows if the snapshot was
+    written single-device — snapshots are mesh-portable)."""
     import json
 
     with np.load(path, allow_pickle=False) as z:
         m_dtype = str(z["m_dtype"])
-        m_cat = (jnp.asarray(z["m_cat"].view(jnp.bfloat16))
-                 if m_dtype == "bfloat16"
-                 else jnp.asarray(z["m_cat"], jnp.float32))
+        m_host = (z["m_cat"].view(jnp.bfloat16) if m_dtype == "bfloat16"
+                  else z["m_cat"].astype(np.float32))
+        msq_host = np.asarray(z["msq_fused"], np.float32)
+        video_row = z["video_row"].copy()
+        prop_idx = z["prop_idx"].copy()
+        spans_sec = z["spans_sec"].copy()
+        if mesh is not None:
+            ndev = mesh.shape[axis]
+            pad = (-m_host.shape[0]) % ndev
+            if pad:
+                m_host = np.concatenate(
+                    [m_host, np.zeros((pad, m_host.shape[1]), m_host.dtype)])
+                msq_host = np.concatenate(
+                    [msq_host, np.full(pad, 1e30, np.float32)])
+                video_row = np.concatenate(
+                    [video_row, np.full(pad, -1, np.int32)])
+                prop_idx = np.concatenate(
+                    [prop_idx, np.zeros(pad, np.int32)])
+                spans_sec = np.concatenate(
+                    [spans_sec, np.zeros((pad, 2), np.float32)])
+            sh_m, sh_sq = _arena_shardings(mesh, axis)
+            m_cat = jax.device_put(m_host, sh_m)
+            msq_fused = jax.device_put(msq_host, sh_sq)
+        else:
+            m_cat = jnp.asarray(m_host)
+            msq_fused = jnp.asarray(msq_host)
         live = LiveIndex(
             m_cat=m_cat,
-            msq_fused=jnp.asarray(z["msq_fused"], jnp.float32),
-            video_row=z["video_row"].copy(),
-            prop_idx=z["prop_idx"].copy(),
-            spans_sec=z["spans_sec"].copy(),
+            msq_fused=msq_fused,
+            video_row=video_row,
+            prop_idx=prop_idx,
+            spans_sec=spans_sec,
             video_ids=[str(v) for v in z["video_ids"]],
             weights=z["weights"],
             used_rows=int(z["used_rows"]),
             rows_per_video=int(z["rows_per_video"]),
             index_dtype=str(z["index_dtype"]),
+            mesh=mesh,
+            axis=axis,
         )
         fp = (json.loads(str(z["fingerprint"]))
               if "fingerprint" in z.files else None)
@@ -345,11 +601,22 @@ def make_live_retriever(
     call, so appends take effect immediately and never recompile (the
     jitted program is shaped by the capacity, which is fixed).  Rows past
     the used region can only surface when k exceeds the valid row count;
-    they carry distances >= 1e29 and video_row -1."""
+    they carry distances >= 1e29 and video_row -1.  A sharded arena
+    retrieves via the hierarchical sharded top-k (local top-k +
+    all-gather merge), same zero-recompile guarantee."""
     k = int(min(k, live.capacity))
-    _retrieve = make_operand_retriever(
-        model, live.weights, k, topk_method=topk_method,
-        approx_recall=approx_recall, rnn_kernel=rnn_kernel)
+    if live.mesh is not None:
+        if topk_method == "fused":
+            raise ValueError("topk_method='fused' is single-device only; "
+                             "a sharded live arena uses exact/approx")
+        _retrieve = make_sharded_operand_retriever(
+            model, live.weights, k, live.mesh, axis=live.axis,
+            topk_method=topk_method, approx_recall=approx_recall,
+            rnn_kernel=rnn_kernel)
+    else:
+        _retrieve = make_operand_retriever(
+            model, live.weights, k, topk_method=topk_method,
+            approx_recall=approx_recall, rnn_kernel=rnn_kernel)
 
     def retrieve(params, tokens, lengths):
         return _retrieve(live.m_cat, live.msq_fused,
