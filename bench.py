@@ -22,12 +22,15 @@ ONE query's candidate proposals are scored (every query in the batch gets
 all N proposals scored within the batch latency).  The chip-aggregate rate
 (x query_batch) is in detail.aggregate_scored_per_chip_per_sec.
 
-Stage decomposition + roofline: encode / distance / top-k stage times are
-measured as differences of pipeline prefixes (same token-perturbation
-harness), and the distance stage is reported against the HBM-bandwidth
-roofline for both a float32 and a bfloat16 moment index — the stage is
-bandwidth-bound (it streams the whole index per batch), so bytes, not
-FLOPs, set its speed of light.
+Stage decomposition + roofline: the score stage is measured DIRECTLY
+(precomputed query embeddings) and reported against the HBM-bandwidth
+roofline; encode / top-k come from pipeline prefixes (same
+token-perturbation harness).  The stage is bandwidth-bound (it streams
+the whole index per batch), so bytes, not FLOPs, set its speed of light.
+Only the bfloat16-stored index is measured: an f32-stored index executes
+the identical steady-state program after the loop-invariant carrier
+conversion (DESIGN 12b; r1/r2 artifacts measured the two equal within
+noise).
 
 Secondary metric (detail.train_step_ms): the full didemo_fusion training
 step (fwd+bwd+adam, B=64, fused custom-VJP LSTM) — the BASELINE.json:5
@@ -162,7 +165,14 @@ def main():
                                        compute_dtype)
         return body
 
-    idx32 = make_index("float32")
+    # ONE stored dtype (bf16, the serving preset default): the f32-stored
+    # twin ran in r1/r2 and measured EQUAL within run noise every time —
+    # the carrier policy converts either stored dtype to the same bf16
+    # matmul operand once per program (loop-invariant, DESIGN 12b), so the
+    # executed steady-state program is identical.  Dropping it removes a
+    # compile + a 215 MB index upload through the relay (the phase where
+    # bench hangs were observed) and kills the r2 coin-flip noise in the
+    # headline's index_dtype field (VERDICT r2 weak #1).
     idx16 = make_index("bfloat16")
 
     # Production throughput program (eval/corpus.py::make_stream_retriever):
@@ -172,12 +182,8 @@ def main():
     retr16 = make_score_topk(model, idx16, K,
                              topk_method=cfg.eval.topk_method,
                              approx_recall=cfg.eval.approx_recall)
-    retr32 = make_score_topk(model, idx32, K,
-                             topk_method=cfg.eval.topk_method,
-                             approx_recall=cfg.eval.approx_recall)
 
     sec16 = device_seconds_per_iter(full_body(retr16), base_tokens)
-    sec32 = device_seconds_per_iter(full_body(retr32), base_tokens)
     sec_enc = device_seconds_per_iter(encode_body, base_tokens)
     sec_d16 = device_seconds_per_iter(dist_body(idx16), base_tokens)
     # no f32-stored-index stage variant: identical program after the
@@ -238,9 +244,9 @@ def main():
     sec_train = device_seconds_per_iter(train_body, train_batch["tokens"])
 
     # serving config: bf16 index (recall-parity-tested vs f32 in
-    # tests/test_corpus.py) — headline uses it
-    sec = min(sec16, sec32)
-    best_dtype = "bfloat16" if sec16 <= sec32 else "float32"
+    # tests/test_corpus.py; f32-stored runs the identical program after
+    # the loop-invariant carrier conversion — see the note above)
+    sec = sec16
 
     # score stage: DIRECT measurement (precomputed queries); the prefix
     # difference is kept only as a cross-check in the detail
@@ -276,11 +282,14 @@ def main():
         "topk": K,
         "topk_method": cfg.eval.topk_method,
         "approx_recall": cfg.eval.approx_recall,
-        "index_dtype": best_dtype,
+        "index_dtype": "bfloat16",
+        "index_dtype_note": "f32-stored index executes the IDENTICAL "
+                            "steady-state program (loop-invariant carrier "
+                            "conversion, DESIGN 12b; measured equal within "
+                            "noise in BENCH_r01/r02) — not re-measured",
         "batch_latency_ms": round(1e3 * sec, 3),
         "per_query_latency_us": round(1e6 * sec / Q, 2),
         "aggregate_scored_per_chip_per_sec": round(Q * N / sec, 1),
-        "batch_latency_ms_f32_index": round(1e3 * sec32, 3),
         "batch_latency_ms_bf16_index": round(1e3 * sec16, 3),
         "stages_ms": {
             "encode": round(1e3 * sec_enc, 4),
