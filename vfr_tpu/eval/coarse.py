@@ -153,8 +153,17 @@ def _bisection_perm(x: np.ndarray, block_rows: int) -> np.ndarray:
     block-aligned median; leaves are exactly ``block_rows`` rows (the last
     may be short).  This is a kd-tree packing rather than k-means: it
     guarantees balanced cells (so stage 2 stays a dense fixed-shape
-    gather) at a few argsorts of build cost, and cell coherence only
-    affects RECALL, never correctness (stage 2 rescores exactly).
+    gather) at O(N log(N/B)) build cost, and cell coherence only affects
+    RECALL, never correctness (stage 2 rescores exactly).
+
+    Cost notes (2.1M x 32 f32 rows, B=128, this host): a per-node full
+    stable argsort + [n, D] materialization ran 10-16 s; splitting with
+    ``argpartition`` on just the split column (within-side order is
+    irrelevant — children re-partition) and picking the split dim from a
+    <=64k-row sample runs 4.4 s with identical within-block variance
+    (0.7067 vs 0.7068).  Deterministic for a fixed input (introselect has
+    no randomness); tie ORDER differs from the old stable sort, which
+    only re-labels equivalent cells.
     """
     N, _ = x.shape
     out = np.empty(N, np.int64)
@@ -167,12 +176,12 @@ def _bisection_perm(x: np.ndarray, block_rows: int) -> np.ndarray:
             out[pos:pos + n] = ids
             pos += n
             continue
-        sub = x[ids]
-        dim = int(np.argmax(sub.var(axis=0)))
-        order = ids[np.argsort(sub[:, dim], kind="stable")]
+        samp = ids if n <= 65_536 else ids[:: n // 32_768]
+        dim = int(np.argmax(x[samp].var(axis=0)))
         h = max(block_rows, (n // (2 * block_rows)) * block_rows)
-        stack.append(order[h:])
-        stack.append(order[:h])
+        part = ids[np.argpartition(x[ids, dim], h)]
+        stack.append(part[h:])
+        stack.append(part[:h])
     assert pos == N
     return out
 
