@@ -535,6 +535,34 @@ class TestShardedLiveArena:
                     ds2.rgb_feats[:1], ds2.flow_feats[:1])
         assert loaded.num_videos == live.num_videos + 1
 
+    def test_sharded_snapshot_loads_single_device(self, setup, devices8,
+                                                  tmp_path):
+        """The other portability direction: a snapshot written FROM a
+        row-sharded arena (np.asarray gathers the global array) loads on
+        a single device and retrieves identically."""
+        from vfr_tpu.eval.live import load_arena, save_arena
+        from vfr_tpu.parallel.mesh import make_mesh
+
+        cfg, model, params, ds, ds2, toks, lens = setup
+        mesh = make_mesh(("corpus",), devices=devices8)
+        live = make_live_index(params, model, ds, capacity_videos=16,
+                               mesh=mesh)
+        live_append(live, params, model, ds, ds2.video_ids[:2],
+                    ds2.rgb_feats[:2], ds2.flow_feats[:2])
+        p = save_arena(live, str(tmp_path / "arena_sh"), params=params,
+                       model=model)
+        loaded = load_arena(p, params=params, model=model)   # no mesh
+        assert loaded.mesh is None
+        assert loaded.capacity == live.capacity
+        r_sh = make_live_retriever(model, live, 7, topk_method="exact")
+        r_1 = make_live_retriever(model, loaded, 7, topk_method="exact")
+        d_sh, rows_sh = r_sh(params, toks, lens)
+        d_1, rows_1 = r_1(params, toks, lens)
+        np.testing.assert_array_equal(np.asarray(rows_sh),
+                                      np.asarray(rows_1))
+        np.testing.assert_allclose(np.asarray(d_sh), np.asarray(d_1),
+                                   rtol=1e-5, atol=1e-6)
+
     def test_follow_sharded_live_cli_matches_unsharded(self, tmp_path,
                                                        capsys, monkeypatch):
         """`serve --follow --live-capacity-videos --shards 8`: the daemon
@@ -559,7 +587,8 @@ class TestShardedLiveArena:
         np.savez(delta,
                  video_ids=np.asarray([f"grow{i:04d}" for i in range(3)]),
                  rgb=rng.standard_normal((3, 6, 2048)).astype(np.float32))
-        stdin = f"w0001 w0002\n!add {delta}\nw0003 w0004\n"
+        stdin = (f"w0001 w0002\n!add {delta}\nw0003 w0004\n"
+                 "!remove grow0000\n!stats\n!compact\n!grow 40\nw0005\n")
 
         def run(extra):
             monkeypatch.setattr("sys.stdin", io.StringIO(stdin))
@@ -576,8 +605,16 @@ class TestShardedLiveArena:
 
         plain = run([])
         sharded = run(["--shards", "8"])
-        assert len(sharded) == len(plain) == 3
+        assert len(sharded) == len(plain) == 8
         assert sharded[1]["added_rows"] == plain[1]["added_rows"] == 3 * 21
+        assert sharded[3]["removed_rows"] == plain[3]["removed_rows"] == 21
+        assert sharded[4]["tombstoned_rows"] == 21
+        assert sharded[4]["shards"] == 8 and plain[4]["shards"] == 1
+        # sharded capacity was rounded up at boot; both reclaim the same
+        assert sharded[5]["reclaimed_rows"] == plain[5]["reclaimed_rows"] == 21
+        assert sharded[5]["num_videos"] == plain[5]["num_videos"]
+        assert sharded[6]["capacity_rows"] % 8 == 0
+        assert plain[6]["capacity_rows"] == 40 * 21
         for a, b in zip(sharded, plain):
             if "results" not in a:
                 continue

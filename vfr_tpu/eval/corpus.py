@@ -1076,6 +1076,26 @@ def serve_follow(
                                  params=params, model=model)
                 return {"command": line, "saved": out,
                         "num_videos": live.num_videos}
+            if line.strip() == "!stats":
+                import numpy as _np
+
+                from vfr_tpu.eval.live import _INVALID
+
+                # tombstoned-row count needs the [cap] msq column on the
+                # host — a few hundred KB even at 10M rows; lets the
+                # operator decide when a !compact is worth its O(capacity)
+                tomb = int((_np.asarray(live.msq_fused)[:live.used_rows]
+                            >= _INVALID).sum())
+                return {"command": line,
+                        "num_videos": live.num_videos,
+                        "capacity_rows": live.capacity,
+                        "used_rows": live.used_rows,
+                        "free_rows": live.free_rows,
+                        "tombstoned_rows": tomb,
+                        "rows_per_video": live.rows_per_video,
+                        "index_dtype": live.index_dtype,
+                        "shards": (1 if live.mesh is None
+                                   else int(live.mesh.shape[live.axis]))}
             if line.strip() == "!compact":
                 from vfr_tpu.eval.live import live_compact
 
@@ -1095,7 +1115,7 @@ def serve_follow(
             raise ValueError(f"unknown control line {line.split()[0]!r}"
                              " (supported: !add <delta.npz>, "
                              "!remove <video_id> [...], !save <path>, "
-                             "!compact, !grow <capacity_videos>)")
+                             "!compact, !grow <capacity_videos>, !stats)")
         except Exception as e:   # a bad delta must not kill the daemon
             return {"command": line, "error": str(e)}
 
