@@ -820,3 +820,87 @@ class TestArenaMaintenance:
         assert recs[6]["num_videos"] == 21
         for rec in (recs[0], recs[7]):
             assert len(rec["results"]) == 3
+
+
+class TestAppendAtomicity:
+    """Code-review regression tests: a rejected append leaves the arena
+    untouched (even when the sharded path would chunk the splice), small
+    snapshots load onto larger meshes with append still working, and the
+    retriever's k clamp follows capacity growth."""
+
+    def test_oversized_sharded_append_is_atomic(self, setup, devices8):
+        from vfr_tpu.eval.live import live_grow
+        from vfr_tpu.parallel.mesh import make_mesh
+
+        cfg, model, params, ds, ds2, toks, lens = setup
+        mesh = make_mesh(("corpus",), devices=devices8)
+        # capacity 11 videos over 8 shards -> free space for ~1 video
+        live = make_live_index(params, model, ds, capacity_videos=11,
+                               mesh=mesh)
+        free_before = live.free_rows
+        v_before = live.num_videos
+        assert free_before < 5 * ds.num_proposals  # ds2 cannot fit
+        with pytest.raises(ValueError, match="exceeds capacity"):
+            live_append(live, params, model, ds, ds2.video_ids,
+                        ds2.rgb_feats, ds2.flow_feats)
+        # NOTHING was partially applied
+        assert live.free_rows == free_before
+        assert live.num_videos == v_before
+        assert not set(ds2.video_ids) & set(live.video_ids)
+        # after growing, the SAME delta applies cleanly (ids not burned)
+        live_grow(live, 24)
+        n = live_append(live, params, model, ds, ds2.video_ids,
+                        ds2.rgb_feats, ds2.flow_feats)
+        assert n == 5 * ds.num_proposals
+        assert live.num_videos == v_before + 5
+
+    def test_small_snapshot_on_large_mesh_can_append(self, setup, devices8,
+                                                     tmp_path):
+        from types import SimpleNamespace
+
+        from vfr_tpu.eval.live import load_arena, save_arena
+        from vfr_tpu.parallel.mesh import make_mesh
+
+        cfg, model, params, ds, ds2, toks, lens = setup
+        mesh = make_mesh(("corpus",), devices=devices8)
+        # 3-video arena: 63 rows < 8 shards * 21 rows/video
+        small = SimpleNamespace(
+            video_ids=list(ds.video_ids[:3]),
+            rgb_feats=ds.rgb_feats[:3], flow_feats=ds.flow_feats[:3],
+            num_proposals=ds.num_proposals,
+            span_seconds=ds.span_seconds)
+        live = make_live_index(params, model, small, capacity_videos=3)
+        p = save_arena(live, str(tmp_path / "small"))
+        loaded = load_arena(p, mesh=mesh)
+        # capacity was padded so every shard can hold a whole video
+        assert loaded.rows_per_shard >= loaded.rows_per_video
+        assert loaded.capacity % 8 == 0
+        n = live_append(loaded, params, model, ds, ds2.video_ids[:2],
+                        ds2.rgb_feats[:2], ds2.flow_feats[:2])
+        assert n == 2 * ds.num_proposals
+        r = make_live_retriever(model, loaded, 5, topk_method="exact")
+        _, rows = r(params, toks, lens)
+        assert np.asarray(rows).max() < loaded.used_rows
+
+    def test_topk_clamp_follows_grow(self, setup):
+        from types import SimpleNamespace
+
+        from vfr_tpu.eval.live import live_grow
+
+        cfg, model, params, ds, ds2, toks, lens = setup
+        one = SimpleNamespace(
+            video_ids=list(ds.video_ids[:1]),
+            rgb_feats=ds.rgb_feats[:1], flow_feats=ds.flow_feats[:1],
+            num_proposals=ds.num_proposals,
+            span_seconds=ds.span_seconds)
+        live = make_live_index(params, model, one, capacity_videos=1)
+        retrieve = make_live_retriever(model, live, 50,
+                                       topk_method="exact")
+        d, rows = retrieve(params, toks, lens)
+        assert rows.shape[1] == 21          # clamped to boot capacity
+        live_grow(live, 5)
+        live_append(live, params, model, ds, ds2.video_ids[:4],
+                    ds2.rgb_feats[:4], ds2.flow_feats[:4])
+        d, rows = retrieve(params, toks, lens)
+        assert rows.shape[1] == 50          # clamp followed the growth
+        assert np.asarray(rows).max() < live.used_rows

@@ -1077,14 +1077,12 @@ def serve_follow(
                 return {"command": line, "saved": out,
                         "num_videos": live.num_videos}
             if line.strip() == "!stats":
-                import numpy as _np
-
                 from vfr_tpu.eval.live import _INVALID
 
                 # tombstoned-row count needs the [cap] msq column on the
                 # host — a few hundred KB even at 10M rows; lets the
                 # operator decide when a !compact is worth its O(capacity)
-                tomb = int((_np.asarray(live.msq_fused)[:live.used_rows]
+                tomb = int((np.asarray(live.msq_fused)[:live.used_rows]
                             >= _INVALID).sum())
                 return {"command": line,
                         "num_videos": live.num_videos,

@@ -98,6 +98,34 @@ def _arena_shardings(mesh, axis):
     return (NamedSharding(mesh, P(axis, None)), NamedSharding(mesh, P(axis)))
 
 
+def _mesh_capacity(cap: int, rows_per_video: int, mesh, axis) -> int:
+    """Round a row capacity up to the sharded-arena invariants: divisible
+    by the corpus axis AND rows_per_shard >= rows_per_video, so a
+    one-video delta always fits one shard's splice window (live_append
+    chunks at video granularity).  Every constructor (make_live_index,
+    load_arena, live_grow) goes through this, so the invariant can't
+    drift between them."""
+    if mesh is None:
+        return cap
+    ndev = mesh.shape[axis]
+    cap = max(cap, ndev * rows_per_video)
+    return cap + (-cap) % ndev
+
+
+def _pad_host_metadata(cap: int, video_row, prop_idx, spans_sec):
+    """Full-capacity host metadata with the free-row sentinel convention
+    (video_row -1, prop_idx 0, spans 0) past the populated prefix — the
+    single home of that convention for every constructor."""
+    n = len(video_row)
+    vr = np.full(cap, -1, np.int32)
+    vr[:n] = video_row
+    pi = np.zeros(cap, np.int32)
+    pi[:n] = prop_idx
+    sp = np.zeros((cap, 2), np.float32)
+    sp[:n] = spans_sec
+    return vr, pi, sp
+
+
 def _index_operands(index, carrier) -> tuple:
     m_cat, msq_fused = fuse_index_cat(index.m, index.m_sq, index.weights)
     return m_cat.astype(carrier), msq_fused
@@ -135,7 +163,7 @@ def make_live_index(
             raise ValueError(
                 f"capacity_videos={capacity_videos} < mesh corpus axis "
                 f"({ndev}): each shard must hold at least one video")
-        cap += (-cap) % ndev
+        cap = _mesh_capacity(cap, P, mesh, axis)
     used = index.num_rows
     # carrier matches build_moment_index's storage dtype: the stored rows
     # were already quantized there, so this cast is exact either way
@@ -147,12 +175,8 @@ def make_live_index(
         [m_cat, jnp.zeros((pad, m_cat.shape[1]), m_cat.dtype)])
     msq_fused = jnp.concatenate(
         [msq_fused, jnp.full((pad,), 1e30, jnp.float32)])
-    video_row = np.full(cap, -1, np.int32)
-    video_row[:used] = index.video_row
-    prop_idx = np.zeros(cap, np.int32)
-    prop_idx[:used] = index.prop_idx
-    spans_sec = np.zeros((cap, 2), np.float32)
-    spans_sec[:used] = index.spans_sec
+    video_row, prop_idx, spans_sec = _pad_host_metadata(
+        cap, index.video_row, index.prop_idx, index.spans_sec)
     if mesh is None:
         m_cat, msq_fused = jax.device_put(m_cat), jax.device_put(msq_fused)
     else:
@@ -260,70 +284,69 @@ def live_append(
     metadata).  Returns the number of rows appended.  O(delta) work and
     bytes; the retriever program is untouched (same operand shapes).
 
+    ATOMIC: every failure mode (duplicate id, over-capacity, weight
+    drift) is raised BEFORE the first device splice, so a rejected delta
+    leaves the arena exactly as it was — re-adding the same ids after a
+    !grow/!compact always works.
+
     Sharded arena: the splice runs under ``shard_map`` — each shard
-    dynamic-slices an n-row window that covers its overlap with
-    [start, start+n), selects delta rows into it, and writes it back, so
-    the append stays O(delta) per shard with no cross-shard traffic (the
-    delta is replicated; a plain global dynamic_update_slice would leave
-    the partitioning strategy to GSPMD).  Deltas larger than one shard's
-    row block are split at video granularity host-side."""
+    dynamic-slices a window that covers its overlap with the update
+    range, selects delta rows into it, and writes it back, so the append
+    stays O(delta) per shard with no cross-shard traffic (the delta is
+    replicated; a plain global dynamic_update_slice would leave the
+    partitioning strategy to GSPMD).  The window must fit one shard, so
+    the delta is embedded ONCE and the device splice chunks it at video
+    granularity (the constructors guarantee rows_per_shard >=
+    rows_per_video via ``_mesh_capacity``)."""
     taken = set(live.video_ids)
     for v in video_ids:
         if v in taken:
             raise ValueError(f"video {v!r} is already in the corpus")
     video_ids = list(video_ids)
-    if live.mesh is not None:
-        max_v = live.rows_per_shard // live.rows_per_video
-        if len(video_ids) > max_v:
-            rgb = np.asarray(rgb)
-            flow_a = None if flow is None else np.asarray(flow)
-            dur_a = None if durations is None else np.asarray(durations)
-            total = 0
-            for lo in range(0, len(video_ids), max_v):
-                hi = lo + max_v
-                total += live_append(
-                    live, params, model, dataset, video_ids[lo:hi],
-                    rgb[lo:hi],
-                    flow=None if flow_a is None else flow_a[lo:hi],
-                    durations=None if dur_a is None else dur_a[lo:hi])
-            return total
-    shim = delta_corpus(dataset, video_ids, rgb, flow=flow,
-                        durations=durations)
-    delta = build_moment_index(params, model, shim,
-                               index_dtype=live.index_dtype,
-                               with_fingerprint=False)
-    n = delta.num_rows
+    n = len(video_ids) * live.rows_per_video
     if n > live.free_rows:
         raise ValueError(
             f"append of {n} rows exceeds capacity: {live.free_rows} free "
             f"of {live.capacity} (reclaim with live_compact/!compact or "
             "grow with live_grow/!grow)")
+    shim = delta_corpus(dataset, video_ids, rgb, flow=flow,
+                        durations=durations)
+    delta = build_moment_index(params, model, shim,
+                               index_dtype=live.index_dtype,
+                               with_fingerprint=False)
+    if delta.num_rows != n:   # static proposal banks make this impossible
+        raise ValueError(f"delta embedded {delta.num_rows} rows, expected "
+                         f"{n} ({live.rows_per_video} per video)")
     if not np.allclose(np.asarray(delta.weights),
                        np.asarray(live.weights)):
         raise ValueError("stream weights changed between build and append")
     d_cat, d_sq = _index_operands(delta, live.m_cat.dtype)
 
-    upd_key = ("live_update", live.m_cat.shape, live.m_cat.dtype,
-               d_cat.shape, live.mesh, live.axis)
-    _update = _JIT_CACHE.get(upd_key)
-    if _update is None:
-        # donation makes the splice in-place in HBM: no 2x-capacity copy,
-        # and the returned buffers alias the arena
-        if live.mesh is None:
-            def _update_fn(m_cat, msq, d_cat, d_sq, start):
-                return (
-                    jax.lax.dynamic_update_slice(m_cat, d_cat, (start, 0)),
-                    jax.lax.dynamic_update_slice(msq, d_sq, (start,)),
-                )
-        else:
-            _update_fn = _make_sharded_splice(live.mesh, live.axis)
-
-        _update = jax.jit(_update_fn, donate_argnums=(0, 1))
-        _JIT_CACHE[upd_key] = _update
-
+    chunk = n if live.mesh is None else \
+        (live.rows_per_shard // live.rows_per_video) * live.rows_per_video
     start = live.used_rows
-    live.m_cat, live.msq_fused = _update(
-        live.m_cat, live.msq_fused, d_cat, d_sq, jnp.int32(start))
+    for lo in range(0, n, chunk):
+        c_cat, c_sq = d_cat[lo:lo + chunk], d_sq[lo:lo + chunk]
+        upd_key = ("live_update", live.m_cat.shape, live.m_cat.dtype,
+                   c_cat.shape, live.mesh, live.axis)
+        _update = _JIT_CACHE.get(upd_key)
+        if _update is None:
+            # donation makes the splice in-place in HBM: no 2x-capacity
+            # copy, and the returned buffers alias the arena
+            if live.mesh is None:
+                def _update_fn(m_cat, msq, d_cat, d_sq, start):
+                    return (
+                        jax.lax.dynamic_update_slice(m_cat, d_cat,
+                                                     (start, 0)),
+                        jax.lax.dynamic_update_slice(msq, d_sq, (start,)),
+                    )
+            else:
+                _update_fn = _make_sharded_splice(live.mesh, live.axis)
+
+            _update = jax.jit(_update_fn, donate_argnums=(0, 1))
+            _JIT_CACHE[upd_key] = _update
+        live.m_cat, live.msq_fused = _update(
+            live.m_cat, live.msq_fused, c_cat, c_sq, jnp.int32(start + lo))
     base_video = live.num_videos
     live.video_row[start:start + n] = delta.video_row + base_video
     live.prop_idx[start:start + n] = delta.prop_idx
@@ -442,9 +465,8 @@ def live_grow(live: LiveIndex, capacity_videos: int) -> int:
     the per-event recompiles a rebuild-the-retriever design would pay.
     The device op is a pad-concatenate (O(capacity) copy; on a mesh GSPMD
     redistributes rows so every shard holds new_cap/ndev)."""
-    new_cap = capacity_videos * live.rows_per_video
-    if live.mesh is not None:
-        new_cap += (-new_cap) % live.mesh.shape[live.axis]
+    new_cap = _mesh_capacity(capacity_videos * live.rows_per_video,
+                             live.rows_per_video, live.mesh, live.axis)
     if new_cap < live.capacity:
         raise ValueError(
             f"cannot shrink: capacity_videos={capacity_videos} -> "
@@ -477,12 +499,8 @@ def live_grow(live: LiveIndex, capacity_videos: int) -> int:
     live.m_cat, live.msq_fused = _grow(live.m_cat, live.msq_fused)
     # metadata arrays are REALLOCATED (capacity changed): readers must go
     # through the LiveIndex object, not hold references to the old arrays
-    live.video_row = np.concatenate(
-        [live.video_row, np.full(pad, -1, np.int32)])
-    live.prop_idx = np.concatenate(
-        [live.prop_idx, np.zeros(pad, np.int32)])
-    live.spans_sec = np.concatenate(
-        [live.spans_sec, np.zeros((pad, 2), np.float32)])
+    live.video_row, live.prop_idx, live.spans_sec = _pad_host_metadata(
+        new_cap, live.video_row, live.prop_idx, live.spans_sec)
     return new_cap
 
 
@@ -541,20 +559,22 @@ def load_arena(path: str, params=None, model=None,
         video_row = z["video_row"].copy()
         prop_idx = z["prop_idx"].copy()
         spans_sec = z["spans_sec"].copy()
+        rows_per_video = int(z["rows_per_video"])
         if mesh is not None:
-            ndev = mesh.shape[axis]
-            pad = (-m_host.shape[0]) % ndev
+            # _mesh_capacity also enforces rows_per_shard >=
+            # rows_per_video, so a small snapshot loaded onto a larger
+            # mesh still accepts appends (the splice window must fit one
+            # shard) — without it, every later !add would fail
+            cap = _mesh_capacity(m_host.shape[0], rows_per_video,
+                                 mesh, axis)
+            pad = cap - m_host.shape[0]
             if pad:
                 m_host = np.concatenate(
                     [m_host, np.zeros((pad, m_host.shape[1]), m_host.dtype)])
                 msq_host = np.concatenate(
                     [msq_host, np.full(pad, 1e30, np.float32)])
-                video_row = np.concatenate(
-                    [video_row, np.full(pad, -1, np.int32)])
-                prop_idx = np.concatenate(
-                    [prop_idx, np.zeros(pad, np.int32)])
-                spans_sec = np.concatenate(
-                    [spans_sec, np.zeros((pad, 2), np.float32)])
+                video_row, prop_idx, spans_sec = _pad_host_metadata(
+                    cap, video_row, prop_idx, spans_sec)
             sh_m, sh_sq = _arena_shardings(mesh, axis)
             m_cat = jax.device_put(m_host, sh_m)
             msq_fused = jax.device_put(msq_host, sh_sq)
@@ -570,7 +590,7 @@ def load_arena(path: str, params=None, model=None,
             video_ids=[str(v) for v in z["video_ids"]],
             weights=z["weights"],
             used_rows=int(z["used_rows"]),
-            rows_per_video=int(z["rows_per_video"]),
+            rows_per_video=rows_per_video,
             index_dtype=str(z["index_dtype"]),
             mesh=mesh,
             axis=axis,
@@ -603,22 +623,28 @@ def make_live_retriever(
     the used region can only surface when k exceeds the valid row count;
     they carry distances >= 1e29 and video_row -1.  A sharded arena
     retrieves via the hierarchical sharded top-k (local top-k +
-    all-gather merge), same zero-recompile guarantee."""
-    k = int(min(k, live.capacity))
-    if live.mesh is not None:
-        if topk_method == "fused":
-            raise ValueError("topk_method='fused' is single-device only; "
-                             "a sharded live arena uses exact/approx")
-        _retrieve = make_sharded_operand_retriever(
-            model, live.weights, k, live.mesh, axis=live.axis,
-            topk_method=topk_method, approx_recall=approx_recall,
-            rnn_kernel=rnn_kernel)
-    else:
-        _retrieve = make_operand_retriever(
-            model, live.weights, k, topk_method=topk_method,
-            approx_recall=approx_recall, rnn_kernel=rnn_kernel)
+    all-gather merge), same zero-recompile guarantee.
+
+    ``k`` is re-clamped to the arena's CURRENT capacity on every call
+    (the factory lookup is a cached dict get): a daemon whose requested k
+    exceeded a small boot capacity returns the full k after a ``!grow``
+    instead of baking the boot-time truncation in forever."""
+    k_req = int(k)
+    if live.mesh is not None and topk_method == "fused":
+        raise ValueError("topk_method='fused' is single-device only; "
+                         "a sharded live arena uses exact/approx")
 
     def retrieve(params, tokens, lengths):
+        k_eff = int(min(k_req, live.capacity))
+        if live.mesh is not None:
+            _retrieve = make_sharded_operand_retriever(
+                model, live.weights, k_eff, live.mesh, axis=live.axis,
+                topk_method=topk_method, approx_recall=approx_recall,
+                rnn_kernel=rnn_kernel)
+        else:
+            _retrieve = make_operand_retriever(
+                model, live.weights, k_eff, topk_method=topk_method,
+                approx_recall=approx_recall, rnn_kernel=rnn_kernel)
         return _retrieve(live.m_cat, live.msq_fused,
                          params, tokens, lengths)
 
