@@ -904,3 +904,106 @@ class TestAppendAtomicity:
         d, rows = retrieve(params, toks, lens)
         assert rows.shape[1] == 50          # clamp followed the growth
         assert np.asarray(rows).max() < live.used_rows
+
+
+class TestLifecycleFuzz:
+    """Randomized add/remove/compact/grow sequences cross-checked against
+    a from-scratch arena over the same active corpus after EVERY
+    mutation — the live index's semantics are 'always equal to a rebuild'
+    and this walks a long way into the state space the unit tests sample
+    point-wise.  Runs single-device and row-sharded."""
+
+    @pytest.mark.parametrize("shard", [False, True])
+    def test_random_lifecycle_matches_rebuild(self, setup, devices8, shard):
+        from types import SimpleNamespace
+
+        from vfr_tpu.eval.live import live_compact, live_grow, live_remove
+        from vfr_tpu.parallel.mesh import make_mesh
+
+        cfg, model, params, ds, ds2, toks, lens = setup
+        mesh = (make_mesh(("corpus",), devices=devices8) if shard
+                else None)
+        rng = np.random.default_rng(3 if shard else 2)
+        P = ds.num_proposals
+        k = 5
+
+        # the active corpus as ordered (id, rgb_row, flow_row) triples —
+        # the ground truth the arena must always equal a rebuild over
+        active = [(v, ds.rgb_feats[i], ds.flow_feats[i])
+                  for i, v in enumerate(ds.video_ids)]
+        live = make_live_index(params, model, ds, capacity_videos=14,
+                               mesh=mesh)
+        next_id = 0
+
+        def reference():
+            shim = SimpleNamespace(
+                video_ids=[v for v, _, _ in active],
+                rgb_feats=np.stack([r for _, r, _ in active]),
+                flow_feats=np.stack([f for _, _, f in active]),
+                num_proposals=P, span_seconds=ds.span_seconds)
+            ref = make_live_index(params, model, shim,
+                                  capacity_videos=max(len(active), 1))
+            return make_live_retriever(model, ref, k,
+                                       topk_method="exact")
+
+        def as_tuples(live_idx, d, rows):
+            out = []
+            for qi in range(d.shape[0]):
+                out.append([
+                    (live_idx.video_ids[int(live_idx.video_row[r])],
+                     float(live_idx.spans_sec[r, 0]),
+                     float(live_idx.spans_sec[r, 1]),
+                     round(float(d[qi, j]), 4))
+                    for j, r in enumerate(np.asarray(rows[qi]))])
+            return out
+
+        retrieve = make_live_retriever(model, live, k, topk_method="exact")
+        for step in range(14):
+            op = rng.choice(["add", "add", "remove", "compact", "grow"])
+            if op == "add":
+                nv = int(rng.integers(1, 3))
+                vids = [f"fz{next_id + i:04d}" for i in range(nv)]
+                rgb = rng.standard_normal((nv,) + ds.rgb_feats.shape[1:]
+                                          ).astype(np.float32)
+                flow = rng.standard_normal((nv,) + ds.flow_feats.shape[1:]
+                                           ).astype(np.float32)
+                if nv * P > live.free_rows:
+                    before = (live.num_videos, live.used_rows)
+                    with pytest.raises(ValueError,
+                                       match="exceeds capacity"):
+                        live_append(live, params, model, ds, vids, rgb,
+                                    flow)
+                    assert (live.num_videos, live.used_rows) == before
+                    continue       # arena unchanged; skip the recheck
+                live_append(live, params, model, ds, vids, rgb, flow)
+                next_id += nv
+                active.extend(zip(vids, rgb, flow))
+            elif op == "remove" and len(active) > 2:
+                vi = int(rng.integers(0, len(active)))
+                vid = active[vi][0]
+                if vid in {v for v, _, _ in active}:
+                    live_remove(live, [vid])
+                    active.pop(vi)
+            elif op == "compact":
+                live_compact(live)
+            elif op == "grow":
+                live_grow(live, live.capacity // P
+                          + int(rng.integers(1, 4)))
+            d_l, rows_l = retrieve(params, toks, lens)
+            ref_retrieve = reference()
+            d_r, rows_r = ref_retrieve(params, toks, lens)
+            shim_ids = [v for v, _, _ in active]
+            got = as_tuples(live, np.asarray(d_l), np.asarray(rows_l))
+            # the reference arena has fresh contiguous rows, so its
+            # row -> (video, span) map is first-principles:
+            # video shim_ids[row // P], span spans[row % P]
+            spans = np.asarray(ds.span_seconds)
+            exp = []
+            for qi in range(np.asarray(d_r).shape[0]):
+                exp.append([
+                    (shim_ids[int(r) // P],
+                     float(spans[int(r) % P, 0]),
+                     float(spans[int(r) % P, 1]),
+                     round(float(np.asarray(d_r)[qi, j]), 4))
+                    for j, r in enumerate(np.asarray(rows_r[qi]))])
+            assert got == exp, f"divergence at step {step} after {op}"
