@@ -250,7 +250,7 @@ def _make_sharded_splice(mesh, axis):
     (clamped to the shard), substitutes delta rows where the window's
     global row falls in the update range, and writes the window back —
     O(n) work per shard, no collectives.  Requires n <= rows_per_shard
-    (live_append splits larger deltas host-side)."""
+    (live_append chunks larger deltas across several splice calls)."""
     from jax.sharding import PartitionSpec as P
 
     def body(m_loc, sq_loc, d_cat, d_sq, start):
