@@ -59,8 +59,20 @@ def main():
     # defaults, i.e. the DESIGN 11b recipe)
     ap.add_argument("--hard-negative-count", type=int, default=8)
     ap.add_argument("--epochs", type=int, default=20)
+    ap.add_argument("--num-videos", type=int, default=NUM_VIDEOS)
+    ap.add_argument("--num-queries", type=int, default=0,
+                    help="0 = scale with videos at the default 6.6 q/video")
+    ap.add_argument("--vocab-words", type=int, default=VOCAB_WORDS)
+    ap.add_argument("--loss-type", default="triplet",
+                    choices=("triplet", "infonce"))
+    ap.add_argument("--temperature", type=float, default=0.1)
+    ap.add_argument("--lambda-inter", type=float, default=0.5)
     args = ap.parse_args()
     OUT = args.out
+    num_videos = args.num_videos
+    num_queries = args.num_queries or round(num_videos * NUM_QUERIES
+                                            / NUM_VIDEOS)
+    vocab_words = args.vocab_words
     from vfr_tpu.utils.compile_cache import enable_compile_cache
 
     enable_compile_cache()   # warm-start compile reuse (docs/DESIGN.md 19)
@@ -84,25 +96,27 @@ def main():
         data=dataclasses.replace(
             base.data,
             data_dir=os.path.join(OUT, "no_real_data"),   # -> synthetic
-            synthetic_num_videos=NUM_VIDEOS,
-            synthetic_num_queries=NUM_QUERIES,
+            synthetic_num_videos=num_videos,
+            synthetic_num_queries=num_queries,
             synthetic_noise=0.25,
-            synthetic_vocab_words=VOCAB_WORDS,
+            synthetic_vocab_words=vocab_words,
             bank_dtype=args.bank_dtype,
         ),
         train=dataclasses.replace(
             base.train,
             num_epochs=args.epochs,
             batch_size=64,
-            lambda_inter=0.5,
+            lambda_inter=args.lambda_inter,
             inter_negatives="all_spans",
+            loss_type=args.loss_type,
+            temperature=args.temperature,
             hard_negative_count=args.hard_negative_count,
             hard_negative_start_epoch=3,
             hard_negative_refresh_epochs=1,
             # ONE fused dispatch + metrics fetch per 875-step epoch: at
             # 125 steps/call the per-chunk ~0.2 s dispatch+fetch overhead
             # was ~75% of the logged train wall (DESIGN 18)
-            steps_per_call=875,
+            steps_per_call=0,   # 0 = derived below once the split is known
             # per-epoch eval was 121 s of the 424 s r2-era run (5.5 s x
             # 20 epochs at 10k val queries); every 4th epoch still logs a
             # useful learning curve and the LAST epoch always evaluates
@@ -121,13 +135,13 @@ def main():
 
     t0 = time.perf_counter()
     fix = make_didemo_fixture(
-        num_videos=NUM_VIDEOS,
-        num_queries=NUM_QUERIES,
+        num_videos=num_videos,
+        num_queries=num_queries,
         feature_dim=cfg.data.feature_dim,
         glove_dim=cfg.data.glove_dim,
         noise=cfg.data.synthetic_noise,
         with_flow=True,
-        vocab_words=VOCAB_WORDS,
+        vocab_words=vocab_words,
         seed=cfg.data.synthetic_seed,
     )
     # one val query per video -> the val index covers every corpus video
@@ -143,8 +157,15 @@ def main():
     val_ds = DidemoDataset(val_anns, fix.rgb, fix.flow, fix.vocab, cfg.data)
     bundle = DataBundle(train_ds, val_ds, fix.vocab, fix.glove,
                         cfg.data.feature_dim, "synthetic")
+    # ONE fused dispatch + metrics fetch per epoch: at spec scale the
+    # per-chunk ~0.2 s dispatch+fetch overhead was ~75% of logged train
+    # wall at the default chunking (DESIGN 18)
+    cfg = dataclasses.replace(cfg, train=dataclasses.replace(
+        cfg.train,
+        steps_per_call=max(1, train_ds.num_queries // cfg.train.batch_size),
+    ))
     t_fixture = time.perf_counter() - t0
-    print(f"[fixture] {NUM_VIDEOS} videos, train {train_ds.num_queries} / "
+    print(f"[fixture] {num_videos} videos, train {train_ds.num_queries} / "
           f"val {val_ds.num_queries} queries, built in {t_fixture:.0f}s",
           file=sys.stderr, flush=True)
 
@@ -188,12 +209,16 @@ def main():
     out = {
         "preset": "didemo_fusion",
         "bank_dtype": cfg.data.bank_dtype,
+        "loss": {"type": cfg.train.loss_type,
+                 "temperature": cfg.train.temperature,
+                 "lambda_intra": cfg.train.lambda_intra,
+                 "lambda_inter": cfg.train.lambda_inter},
         "fixture": {
-            "num_videos": NUM_VIDEOS,
+            "num_videos": num_videos,
             "num_queries_train": train_ds.num_queries,
             "num_queries_val": val_ds.num_queries,
             "noise": cfg.data.synthetic_noise,
-            "vocab_words": VOCAB_WORDS,
+            "vocab_words": vocab_words,
             "seed": cfg.data.synthetic_seed,
         },
         "epochs": cfg.train.num_epochs,
@@ -215,7 +240,7 @@ def main():
                    "loop_init": setup.get("init_s"),
                    "bank_upload": setup.get("bank_upload_s"),
                    "bank_mb": setup.get("bank_mb")},
-        "chance_video_R@1": 1.0 / NUM_VIDEOS,
+        "chance_video_R@1": 1.0 / num_videos,
         "eval_threshold": final_eval,
         "eval_official": official,
         "corpus": corpus,

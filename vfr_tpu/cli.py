@@ -45,6 +45,13 @@ def build_parser() -> argparse.ArgumentParser:
     t.add_argument("--epochs", type=int, default=None)
     t.add_argument("--lr", type=float, default=None)
     t.add_argument("--margin", type=float, default=None)
+    t.add_argument("--loss-type", default=None,
+                   choices=["triplet", "infonce"],
+                   help="objective: reference-lineage max-margin triplet "
+                        "or softmax contrastive (InfoNCE) over the same "
+                        "[B,B,P] cross-distance tensor")
+    t.add_argument("--temperature", type=float, default=None,
+                   help="infonce softmax temperature over -distance/tau")
     t.add_argument("--resume", action="store_true")
     t.add_argument("--data-parallel", action="store_true",
                    help="shard the batch over all local devices")
@@ -202,6 +209,10 @@ def apply_overrides(cfg, args):
         tkw["learning_rate"] = args.lr
     if getattr(args, "margin", None) is not None:
         tkw["margin"] = args.margin
+    if getattr(args, "loss_type", None) is not None:
+        tkw["loss_type"] = args.loss_type
+    if getattr(args, "temperature", None) is not None:
+        tkw["temperature"] = args.temperature
     if getattr(args, "hard_negatives", None) is not None:
         tkw["hard_negative_count"] = args.hard_negatives
     if getattr(args, "hard_negative_refresh", None) is not None:

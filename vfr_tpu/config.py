@@ -110,6 +110,12 @@ class TrainConfig:
     momentum: float = 0.9
     weight_decay: float = 0.0
     grad_clip_norm: float = 0.0         # 0 = off
+    # Objective.  "triplet" is the reference-lineage max-margin ranking loss
+    # (BASELINE.json:5); "infonce" is a softmax contrastive alternative
+    # (one cross-entropy over the same [B,B,P] cross-distance tensor +
+    # mined hard negatives — all-matmul, TPU-native by construction).
+    loss_type: str = "triplet"          # "triplet" | "infonce"
+    temperature: float = 0.1            # infonce: softmax over -distance/tau
     margin: float = 0.1                 # triplet ranking margin
     lambda_intra: float = 1.0
     lambda_inter: float = 0.2

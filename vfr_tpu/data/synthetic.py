@@ -121,6 +121,11 @@ def make_didemo_fixture(
             "clip_seconds": clip_seconds,
             "feature_dim": feature_dim,
             "glove_dim": glove_dim,
+            # Generative projections, exposed so probes/tests can compute the
+            # fixture's matched-filter ORACLE ceiling (the best any linear
+            # decoder could do given the generative model) — never consumed
+            # by the framework itself.
+            "oracle_projections": {"rgb": A_rgb, "flow": A_flow},
         },
     )
 
@@ -212,6 +217,8 @@ def make_charades_fixture(
             "feature_seconds": feature_seconds,
             "feature_dim": feature_dim,
             "glove_dim": glove_dim,
+            # see make_didemo_fixture: oracle hook for ceiling probes only
+            "oracle_projections": {"rgb": A, "flow": A_flow},
         },
     )
 

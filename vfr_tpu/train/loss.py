@@ -20,6 +20,7 @@ from __future__ import annotations
 
 from typing import Dict, Optional, Tuple
 
+import jax
 import jax.numpy as jnp
 
 from vfr_tpu.config import TrainConfig
@@ -29,6 +30,25 @@ from vfr_tpu.models.mcn import Model, cross_distances
 def _masked_mean(x: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
     m = mask.astype(x.dtype)
     return jnp.sum(x * m) / jnp.maximum(jnp.sum(m), 1.0)
+
+
+def _fused_hard_distances(
+    model: Model, q: jnp.ndarray, hard_moments: Dict[str, jnp.ndarray]
+) -> jnp.ndarray:
+    """Stream-fused distance between each query and ITS mined hard
+    negatives: [B, d] (or [S, B, d] per-stream queries) vs stream -> [B, H, d]
+    -> [B, H].  Config-consistent per-stream distance + stream weights,
+    identical to the in-batch fusion in ``cross_distances``."""
+    from vfr_tpu.models.mcn import _stream_distance
+
+    qs = q if q.ndim == 3 else jnp.stack([q] * len(model.streams))
+    d_hard = None
+    for s, name in enumerate(model.streams):
+        d_s = _stream_distance(model.cfg, qs[s][:, None, :],
+                               hard_moments[name])
+        w = model.cfg.stream_weights[s]
+        d_hard = w * d_s if d_hard is None else d_hard + w * d_s
+    return d_hard
 
 
 def ranking_loss(
@@ -81,17 +101,7 @@ def ranking_loss(
     # the rivals the in-batch term never sees.
     l_hard = jnp.float32(0.0)
     if hard_moments is not None:
-        from vfr_tpu.models.mcn import _stream_distance
-
-        qs = q if q.ndim == 3 else jnp.stack([q] * len(model.streams))
-        d_hard = None
-        for s, name in enumerate(model.streams):
-            # config-consistent per-stream distance (sqeuclidean/euclidean/
-            # cosine), broadcast [B, 1, d] vs [B, H, d]
-            d_s = _stream_distance(model.cfg, qs[s][:, None, :],
-                                   hard_moments[name])
-            w = model.cfg.stream_weights[s]
-            d_hard = w * d_s if d_hard is None else d_hard + w * d_s
+        d_hard = _fused_hard_distances(model, q, hard_moments)
         viol = jnp.maximum(0.0, tcfg.margin + pos[:, None] - d_hard)
         hv = (
             jnp.ones(viol.shape, bool) if hard_valid is None else hard_valid
@@ -112,3 +122,97 @@ def ranking_loss(
         "train_r1": acc,
     }
     return loss, aux
+
+
+def infonce_loss(
+    model: Model,
+    tcfg: TrainConfig,
+    q: jnp.ndarray,                      # [B, d]
+    moments: Dict[str, jnp.ndarray],     # stream -> [B, P, d]
+    target: jnp.ndarray,                 # [B] int32 gt proposal index
+    video_idx: jnp.ndarray,              # [B] int32 video identity
+    proposal_mask: Optional[jnp.ndarray] = None,   # [B, P] valid proposals
+    hard_moments: Optional[Dict[str, jnp.ndarray]] = None,  # -> [B, H, d]
+    hard_valid: Optional[jnp.ndarray] = None,               # [B, H] bool
+) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
+    """Softmax contrastive objective over the same negatives as
+    ``ranking_loss`` (``loss_type="infonce"``).
+
+    Two cross-entropies from ONE [B, B, P] cross-distance tensor with
+    logits = -D / temperature:
+
+      L_intra: softmax over the query's OWN video's valid proposals
+               (localization — same candidate set the per-video eval ranks)
+      L_inter: softmax over every valid (video, proposal) row in the batch
+               PLUS the mined hard negatives (retrieval — same candidate
+               population corpus eval ranks).  Rows from a different query
+               on the SAME video are excluded, exactly like the triplet
+               masks: they may describe the positive moment.
+
+      L = lambda_intra * L_intra + lambda_inter * L_inter
+
+    Why offer this next to the reference-lineage margin loss: a margin
+    objective stops pushing once every sampled rival clears the margin,
+    which is what capped corpus recall before index-based mining
+    (docs/DESIGN.md 11); softmax-CE keeps a nonzero gradient on every rival
+    proportional to its softmax share, which is the standard objective for
+    large-scale retrieval towers.  On TPU both reduce to the same MXU
+    matmul + elementwise epilogue; there is no extra memory traffic.
+    """
+    D = cross_distances(model, q, moments)          # [B, B, P]
+    B, _, P = D.shape
+    bidx = jnp.arange(B)
+    logits = -D / jnp.float32(tcfg.temperature)
+
+    l_own = logits[bidx, bidx]                      # [B, P]
+    pos_logit = l_own[bidx, target]                 # [B]
+    pmask = jnp.ones((B, P), bool) if proposal_mask is None else proposal_mask
+
+    # ---- intra CE over own-video proposals
+    own_masked = jnp.where(pmask, l_own, -jnp.inf)
+    l_intra = jnp.mean(jax.nn.logsumexp(own_masked, axis=1) - pos_logit)
+
+    # ---- inter CE over all valid batch rows + mined hard negatives
+    same_video = video_idx[:, None] == video_idx[None, :]     # [B, B']
+    keep_row = jnp.eye(B, dtype=bool) | ~same_video
+    valid = keep_row[:, :, None] & pmask[None, :, :]          # [B, B', P]
+    flat = jnp.where(valid, logits, -jnp.inf).reshape(B, B * P)
+    l_hard = jnp.float32(0.0)
+    if hard_moments is not None:
+        d_hard = _fused_hard_distances(model, q, hard_moments)  # [B, H]
+        hlog = -d_hard / jnp.float32(tcfg.temperature)
+        hv = (
+            jnp.ones(hlog.shape, bool) if hard_valid is None else hard_valid
+        )
+        hlog = jnp.where(hv, hlog, -jnp.inf)
+        flat = jnp.concatenate([flat, hlog], axis=1)
+        # observability: the hard negatives' share of the softmax denominator
+        # (0 = mined rivals irrelevant, ->1 = they dominate the gradient)
+        l_hard = jnp.mean(jnp.exp(
+            jax.nn.logsumexp(hlog, axis=1) - jax.nn.logsumexp(flat, axis=1)
+        ))
+    l_inter = jnp.mean(jax.nn.logsumexp(flat, axis=1) - pos_logit)
+
+    loss = tcfg.lambda_intra * l_intra + tcfg.lambda_inter * l_inter
+
+    D_own = D[bidx, bidx]
+    D_masked = jnp.where(pmask, D_own, jnp.inf)
+    acc = jnp.mean((jnp.argmin(D_masked, axis=1) == target).astype(jnp.float32))
+    aux = {
+        "loss": loss,
+        "loss_intra": l_intra,
+        "loss_inter": l_inter,
+        "loss_hard": l_hard,
+        "pos_dist": jnp.mean(D_own[bidx, target]),
+        "train_r1": acc,
+    }
+    return loss, aux
+
+
+def compute_loss(model: Model, tcfg: TrainConfig, *args, **kwargs):
+    """Dispatch on ``tcfg.loss_type`` — the single entry the train step uses."""
+    if tcfg.loss_type == "triplet":
+        return ranking_loss(model, tcfg, *args, **kwargs)
+    if tcfg.loss_type == "infonce":
+        return infonce_loss(model, tcfg, *args, **kwargs)
+    raise ValueError(f"unknown loss_type {tcfg.loss_type!r}")

@@ -19,7 +19,7 @@ import optax
 
 from vfr_tpu.config import TrainConfig
 from vfr_tpu.models.mcn import Model, embed_moments, embed_queries_multi
-from vfr_tpu.train.loss import ranking_loss
+from vfr_tpu.train.loss import compute_loss
 
 
 def loss_from_batch(
@@ -93,7 +93,7 @@ def loss_from_batch(
             for s in model.streams
         }
         hard_valid = hv >= 0
-    return ranking_loss(
+    return compute_loss(
         model, tcfg, q, m,
         target=batch["target"],
         video_idx=batch["video_idx"],
