@@ -138,7 +138,8 @@ def part_speed(out, d_coarse=32):
     out[f"speed_2p1M_rows_d{d_coarse}"] = res
 
 
-def part_recall(out, epochs):
+def part_recall(out, epochs, loss_type="triplet", temperature=0.02,
+                lambda_inter=0.5):
     import dataclasses
     from collections import defaultdict
 
@@ -166,7 +167,8 @@ def part_recall(out, epochs):
             synthetic_noise=0.25, synthetic_vocab_words=2_000),
         train=dataclasses.replace(
             base.train, num_epochs=epochs, batch_size=64,
-            lambda_inter=0.5, inter_negatives="all_spans",
+            loss_type=loss_type, temperature=temperature,
+            lambda_inter=lambda_inter, inter_negatives="all_spans",
             hard_negative_count=8, hard_negative_start_epoch=3,
             hard_negative_refresh_epochs=1,
             steps_per_call=875 if on_tpu else 0,
@@ -247,7 +249,11 @@ def part_recall(out, epochs):
                 print(f"{mode} d_c={d_c} C={C}: {rec}", file=sys.stderr,
                       flush=True)
         res["grid"][f"d{d_c}_energy"] = round(energy, 4)
-    out["recall_trained_210k_rows"] = res
+    res["loss"] = {"type": loss_type, "temperature": temperature,
+                   "lambda_inter": lambda_inter}
+    key = ("recall_trained_210k_rows" if loss_type == "triplet"
+           else f"recall_trained_210k_rows_{loss_type}")
+    out[key] = res
 
 
 def main():
@@ -257,6 +263,13 @@ def main():
     ap.add_argument("--d-coarse", type=int, default=32,
                     help="prefilter rank for the speed part")
     ap.add_argument("--epochs", type=int, default=8)
+    ap.add_argument("--loss-type", default="triplet",
+                    choices=("triplet", "infonce"),
+                    help="recall part: objective the probe model trains "
+                         "with (DESIGN 27 re-probes coarse recall under "
+                         "infonce-shaped embeddings)")
+    ap.add_argument("--temperature", type=float, default=0.02)
+    ap.add_argument("--lambda-inter", type=float, default=0.5)
     ap.add_argument("--out", default=os.path.join(ROOT, "artifacts",
                                                   "coarse_scale.json"))
     args = ap.parse_args()
@@ -274,7 +287,9 @@ def main():
             json.dump(out, f, indent=1)
 
     if args.part in ("recall", "both"):
-        part_recall(out, args.epochs)
+        part_recall(out, args.epochs, loss_type=args.loss_type,
+                    temperature=args.temperature,
+                    lambda_inter=args.lambda_inter)
         dump()
     if args.part in ("speed", "both"):
         part_speed(out, d_coarse=args.d_coarse)

@@ -63,10 +63,16 @@ def main():
     ap.add_argument("--num-queries", type=int, default=0,
                     help="0 = scale with videos at the default 6.6 q/video")
     ap.add_argument("--vocab-words", type=int, default=VOCAB_WORDS)
-    ap.add_argument("--loss-type", default="triplet",
+    # committed-artifact defaults = the DESIGN 27 recipe: infonce at
+    # tau 0.05, lambda_inter 1.0 beats the triplet recipe 1.9x on corpus
+    # video R@1 at 10k videos AND improves localization.  The optimal tau
+    # is SCALE-DEPENDENT (0.015-0.02 at 2k videos, 0.05 at 10k — DESIGN
+    # 27's table); the default is tuned at the spec scale this artifact
+    # certifies.  --loss-type triplet reproduces the r2-era margin recipe.
+    ap.add_argument("--loss-type", default="infonce",
                     choices=("triplet", "infonce"))
-    ap.add_argument("--temperature", type=float, default=0.1)
-    ap.add_argument("--lambda-inter", type=float, default=0.5)
+    ap.add_argument("--temperature", type=float, default=0.05)
+    ap.add_argument("--lambda-inter", type=float, default=1.0)
     args = ap.parse_args()
     OUT = args.out
     num_videos = args.num_videos
