@@ -55,15 +55,20 @@ def main():
     ap.add_argument("--out", default=OUT,
                     help="sweep runs must not clobber the committed artifact")
     # objective knobs (mirror scripts/quality_run_large.py).  Committed-
-    # artifact defaults = the DESIGN 27 recipe: infonce tau 0.05 /
-    # lambda_inter 1.0 lifts corpus video R@1 0.6045 -> 0.697 (+15%) over
-    # the triplet recipe on this fixture, at a ~1 pt localization cost
-    # (R@1@0.5 0.982 -> 0.972); --loss-type triplet reproduces the
-    # r2-era margin recipe.
+    # artifact defaults = the DESIGN 27/28 recipe: infonce over COSINE
+    # distance at tau 0.02 / lambda_inter 1.0 lifts corpus video R@1
+    # 0.6045 (triplet) -> 0.697 (infonce sqeuclidean tau .05) ->
+    # **0.9235** on this fixture, localization better too (R@1@0.5
+    # 0.983 / R@1@0.7 0.798); --loss-type triplet --distance sqeuclidean
+    # reproduces the r2-era margin recipe.
     ap.add_argument("--loss-type", default="infonce",
                     choices=("triplet", "infonce"))
-    ap.add_argument("--temperature", type=float, default=0.05)
+    ap.add_argument("--temperature", type=float, default=0.02)
     ap.add_argument("--lambda-inter", type=float, default=1.0)
+    ap.add_argument("--distance", default="cosine",
+                    choices=("", "sqeuclidean", "euclidean", "cosine"),
+                    help="ModelConfig.distance override; the committed "
+                         "artifact trains cosine ('' = preset default)")
     args = ap.parse_args()
     out_dir = args.out
 
@@ -90,6 +95,10 @@ def main():
     if os.path.exists(_mp):
         os.remove(_mp)
     base = get_preset("charades_sta")
+    if args.distance:
+        base = dataclasses.replace(
+            base, model=dataclasses.replace(base.model,
+                                            distance=args.distance))
     cfg = dataclasses.replace(
         base,
         data=dataclasses.replace(
@@ -199,6 +208,8 @@ def main():
                  "temperature": cfg.train.temperature,
                  "lambda_intra": cfg.train.lambda_intra,
                  "lambda_inter": cfg.train.lambda_inter},
+        "model": {"distance": cfg.model.distance,
+                  "joint_dim": cfg.model.joint_dim},
         "fixture": {
             "num_videos": NUM_VIDEOS,
             "num_queries_train": train_ds.num_queries,

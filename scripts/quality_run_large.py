@@ -63,16 +63,24 @@ def main():
     ap.add_argument("--num-queries", type=int, default=0,
                     help="0 = scale with videos at the default 6.6 q/video")
     ap.add_argument("--vocab-words", type=int, default=VOCAB_WORDS)
-    # committed-artifact defaults = the DESIGN 27 recipe: infonce at
-    # tau 0.05, lambda_inter 1.0 beats the triplet recipe 1.9x on corpus
-    # video R@1 at 10k videos AND improves localization.  The optimal tau
-    # is SCALE-DEPENDENT (0.015-0.02 at 2k videos, 0.05 at 10k — DESIGN
-    # 27's table); the default is tuned at the spec scale this artifact
-    # certifies.  --loss-type triplet reproduces the r2-era margin recipe.
+    # committed-artifact defaults = the DESIGN 27/28 recipe: infonce over
+    # COSINE distance at tau 0.02, lambda_inter 1.0 — 3.7x the triplet
+    # recipe's corpus video R@1 at 10k videos (0.0312 -> 0.114) and the
+    # best localization of any recipe measured (R@1@0.5 0.868).  tau is
+    # metric- AND scale-dependent: sqeuclidean wants 0.05 here, cosine
+    # 0.02 with a stall cliff at 0.015 (DESIGN 28).  --loss-type triplet
+    # + --distance sqeuclidean reproduces the r2-era margin recipe.
     ap.add_argument("--loss-type", default="infonce",
                     choices=("triplet", "infonce"))
-    ap.add_argument("--temperature", type=float, default=0.05)
+    ap.add_argument("--temperature", type=float, default=0.02)
     ap.add_argument("--lambda-inter", type=float, default=1.0)
+    ap.add_argument("--joint-dim", type=int, default=0,
+                    help="capacity probe: override ModelConfig.joint_dim "
+                         "(0 = preset default; committed artifact uses it)")
+    ap.add_argument("--distance", default="cosine",
+                    choices=("", "sqeuclidean", "euclidean", "cosine"),
+                    help="ModelConfig.distance override; the committed "
+                         "artifact trains cosine ('' = preset default)")
     args = ap.parse_args()
     OUT = args.out
     num_videos = args.num_videos
@@ -97,6 +105,14 @@ def main():
     if os.path.exists(_mp):
         os.remove(_mp)
     base = get_preset("didemo_fusion")
+    if args.joint_dim:
+        base = dataclasses.replace(
+            base, model=dataclasses.replace(base.model,
+                                            joint_dim=args.joint_dim))
+    if args.distance:
+        base = dataclasses.replace(
+            base, model=dataclasses.replace(base.model,
+                                            distance=args.distance))
     cfg = dataclasses.replace(
         base,
         data=dataclasses.replace(
@@ -219,6 +235,8 @@ def main():
                  "temperature": cfg.train.temperature,
                  "lambda_intra": cfg.train.lambda_intra,
                  "lambda_inter": cfg.train.lambda_inter},
+        "model": {"distance": cfg.model.distance,
+                  "joint_dim": cfg.model.joint_dim},
         "fixture": {
             "num_videos": num_videos,
             "num_queries_train": train_ds.num_queries,

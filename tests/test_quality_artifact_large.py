@@ -1,15 +1,16 @@
 """Regression gate on the SPEC-SCALE quality artifact (VERDICT r2 #1).
 
 scripts/quality_run_large.py trains the flagship didemo_fusion recipe
-(InfoNCE tau 0.05 / lambda_inter 1.0 + mining count 8 / refresh every
-epoch — docs/DESIGN.md 11b/27) on a 10,000-video fixture and evaluates
-corpus retrieval against the full 210,000-row moment index — the corpus
-scale BASELINE.json:10-11 names, not the 256-video fixture the small
-artifact uses.  Committed artifact (2026-08-18, infonce recipe): corpus
-video R@1 0.060 = 600x the 1e-4 chance floor (the r2-era triplet recipe
-measured 0.0312 on the same fixture), video R@5 0.1063, localization
-R@1@0.5 0.755, steady mining refresh median 2.1 s/epoch over 56k
-training queries.
+(InfoNCE over cosine distance, tau 0.02 / lambda_inter 1.0 + mining
+count 8 / refresh every epoch — docs/DESIGN.md 11b/27/28) on a
+10,000-video fixture and evaluates corpus retrieval against the full
+210,000-row moment index — the corpus scale BASELINE.json:10-11 names,
+not the 256-video fixture the small artifact uses.  Committed artifact
+(2026-08-18, cosine-infonce recipe): corpus video R@1 0.114 = 1,140x
+the 1e-4 chance floor (r2-era triplet recipe: 0.0312; sqeuclidean
+infonce: 0.060 on the same fixture), video R@5 0.207, localization
+R@1@0.5 0.868 / mIoU 0.816, steady mining refresh median ~2.2 s/epoch
+over 56k training queries.
 
 Thresholds sit at roughly half the committed numbers (and >=100x chance
 for the corpus metrics) so rerun jitter passes while a mining/loss/
@@ -45,10 +46,10 @@ def test_corpus_retrieval_far_above_chance_at_scale():
     out = _load()
     m = out["corpus"]
     chance_v1 = out["chance_video_R@1"]               # 1e-4 at 10k videos
-    assert m["corpus_video_R@1"] >= max(100 * chance_v1, 0.03), (
+    assert m["corpus_video_R@1"] >= max(100 * chance_v1, 0.06), (
         m, chance_v1)
-    assert m["corpus_video_R@5"] >= 0.055, m
-    assert m["corpus_R@1_tiou0.5"] >= 0.028, m
+    assert m["corpus_video_R@5"] >= 0.10, m
+    assert m["corpus_R@1_tiou0.5"] >= 0.055, m
     # internal consistency
     assert m["corpus_video_R@5"] >= m["corpus_video_R@1"]
     assert m["corpus_R@5_tiou0.5"] <= m["corpus_video_R@5"]
@@ -56,8 +57,8 @@ def test_corpus_retrieval_far_above_chance_at_scale():
 
 def test_localization_in_healthy_band_at_scale():
     m = _load()["eval_threshold"]
-    assert m["R@1_tiou0.5"] >= 0.55, m                # committed 0.755
-    assert m["R@5_tiou0.5"] >= 0.80, m                # committed 0.932
+    assert m["R@1_tiou0.5"] >= 0.65, m                # committed 0.868
+    assert m["R@5_tiou0.5"] >= 0.80, m                # committed 0.958
     assert m["R@5_tiou0.5"] >= m["R@1_tiou0.5"]
     assert 0.45 <= m["mIoU"] <= 1.0, m
 
