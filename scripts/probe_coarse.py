@@ -139,7 +139,7 @@ def part_speed(out, d_coarse=32):
 
 
 def part_recall(out, epochs, loss_type="triplet", temperature=0.02,
-                lambda_inter=0.5):
+                lambda_inter=0.5, distance=""):
     import dataclasses
     from collections import defaultdict
 
@@ -158,6 +158,9 @@ def part_recall(out, epochs, loss_type="triplet", temperature=0.02,
     NUM_QUERIES = 66_000 if on_tpu else 512
 
     base = get_preset("didemo_fusion")
+    if distance:
+        base = dataclasses.replace(
+            base, model=dataclasses.replace(base.model, distance=distance))
     cfg = dataclasses.replace(
         base,
         data=dataclasses.replace(
@@ -250,9 +253,10 @@ def part_recall(out, epochs, loss_type="triplet", temperature=0.02,
                       flush=True)
         res["grid"][f"d{d_c}_energy"] = round(energy, 4)
     res["loss"] = {"type": loss_type, "temperature": temperature,
-                   "lambda_inter": lambda_inter}
+                   "lambda_inter": lambda_inter, "distance": distance}
     key = ("recall_trained_210k_rows" if loss_type == "triplet"
-           else f"recall_trained_210k_rows_{loss_type}")
+           else f"recall_trained_210k_rows_{loss_type}"
+                + (f"_{distance}" if distance else ""))
     out[key] = res
 
 
@@ -270,6 +274,9 @@ def main():
                          "infonce-shaped embeddings)")
     ap.add_argument("--temperature", type=float, default=0.02)
     ap.add_argument("--lambda-inter", type=float, default=0.5)
+    ap.add_argument("--distance", default="",
+                    choices=("", "sqeuclidean", "euclidean", "cosine"),
+                    help="recall part: ModelConfig.distance override")
     ap.add_argument("--out", default=os.path.join(ROOT, "artifacts",
                                                   "coarse_scale.json"))
     args = ap.parse_args()
@@ -289,7 +296,8 @@ def main():
     if args.part in ("recall", "both"):
         part_recall(out, args.epochs, loss_type=args.loss_type,
                     temperature=args.temperature,
-                    lambda_inter=args.lambda_inter)
+                    lambda_inter=args.lambda_inter,
+                    distance=args.distance)
         dump()
     if args.part in ("speed", "both"):
         part_speed(out, d_coarse=args.d_coarse)

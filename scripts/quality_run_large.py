@@ -74,6 +74,11 @@ def main():
                     choices=("triplet", "infonce"))
     ap.add_argument("--temperature", type=float, default=0.02)
     ap.add_argument("--lambda-inter", type=float, default=1.0)
+    ap.add_argument("--learn-temperature", action="store_true",
+                    help="probe: train tau as a parameter (DESIGN 29)")
+    ap.add_argument("--temperature-final", type=float, default=0.0,
+                    help="probe: cosine-anneal tau to this value "
+                         "(0 = constant)")
     ap.add_argument("--joint-dim", type=int, default=0,
                     help="capacity probe: override ModelConfig.joint_dim "
                          "(0 = preset default; committed artifact uses it)")
@@ -132,6 +137,8 @@ def main():
             inter_negatives="all_spans",
             loss_type=args.loss_type,
             temperature=args.temperature,
+            learn_temperature=args.learn_temperature,
+            temperature_final=args.temperature_final,
             hard_negative_count=args.hard_negative_count,
             hard_negative_start_epoch=3,
             hard_negative_refresh_epochs=1,
@@ -233,6 +240,8 @@ def main():
         "bank_dtype": cfg.data.bank_dtype,
         "loss": {"type": cfg.train.loss_type,
                  "temperature": cfg.train.temperature,
+                 "learn_temperature": cfg.train.learn_temperature,
+                 "temperature_final": cfg.train.temperature_final,
                  "lambda_intra": cfg.train.lambda_intra,
                  "lambda_inter": cfg.train.lambda_inter},
         "model": {"distance": cfg.model.distance,

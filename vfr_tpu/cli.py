@@ -52,6 +52,15 @@ def build_parser() -> argparse.ArgumentParser:
                         "[B,B,P] cross-distance tensor")
     t.add_argument("--temperature", type=float, default=None,
                    help="infonce softmax temperature over -distance/tau")
+    t.add_argument("--learn-temperature", action="store_true",
+                   help="infonce: train tau as a parameter (CLIP-style "
+                        "log-temperature, initialized at --temperature; "
+                        "measured: matches fixed tau only when initialized "
+                        "at the optimum, docs/DESIGN.md 29)")
+    t.add_argument("--temperature-final", type=float, default=None,
+                   help="infonce: cosine-anneal tau from --temperature to "
+                        "this value over training (soft early / sharp "
+                        "late; avoids the low-tau stall, DESIGN 29)")
     t.add_argument("--resume", action="store_true")
     t.add_argument("--data-parallel", action="store_true",
                    help="shard the batch over all local devices")
@@ -213,6 +222,10 @@ def apply_overrides(cfg, args):
         tkw["loss_type"] = args.loss_type
     if getattr(args, "temperature", None) is not None:
         tkw["temperature"] = args.temperature
+    if getattr(args, "learn_temperature", False):
+        tkw["learn_temperature"] = True
+    if getattr(args, "temperature_final", None) is not None:
+        tkw["temperature_final"] = args.temperature_final
     if getattr(args, "hard_negatives", None) is not None:
         tkw["hard_negative_count"] = args.hard_negatives
     if getattr(args, "hard_negative_refresh", None) is not None:

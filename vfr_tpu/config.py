@@ -116,6 +116,20 @@ class TrainConfig:
     # mined hard negatives — all-matmul, TPU-native by construction).
     loss_type: str = "triplet"          # "triplet" | "infonce"
     temperature: float = 0.1            # infonce: softmax over -distance/tau
+    # CLIP-style learnable temperature: when True (infonce only), tau is a
+    # trained parameter (params["log_tau"], initialized at `temperature`,
+    # exp()'d and clamped to [5e-3, 1.0] in the loss).  Measured at spec
+    # scale (docs/DESIGN.md 29): matches fixed tau when initialized at the
+    # optimum but DIVERGES from a mis-tuned init — opt-in, not a sweep
+    # replacement.
+    learn_temperature: bool = False
+    # Temperature anneal (infonce only): > 0 schedules tau from
+    # `temperature` down to `temperature_final` over training with a
+    # cosine ramp — soft softmax while the model is weak (the low-tau
+    # stall, DESIGN 28), sharp once it can rank.  Rides each chunk as a
+    # per-step operand, so changing the schedule never recompiles.
+    # Mutually exclusive with learn_temperature.
+    temperature_final: float = 0.0      # 0 = constant temperature
     margin: float = 0.1                 # triplet ranking margin
     lambda_intra: float = 1.0
     lambda_inter: float = 0.2

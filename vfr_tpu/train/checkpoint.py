@@ -56,6 +56,19 @@ def latest_checkpoint(ckpt_dir: str) -> Optional[str]:
     return best
 
 
+def peek_config(path: str) -> Optional[ExperimentConfig]:
+    """Read ONLY the config stored in a checkpoint, without a params
+    template (``serialization.msgpack_restore`` needs no target).  Lets
+    eval/serve build the structurally-correct template for checkpoints
+    whose param tree depends on train config (e.g. the learnable
+    log-temperature, train/loop.py::init_train_params) even when the
+    caller's CLI flags don't mention it."""
+    with open(path, "rb") as f:
+        raw = serialization.msgpack_restore(f.read())
+    cj = raw.get("config_json", "")
+    return ExperimentConfig.from_json(cj) if cj else None
+
+
 def restore_checkpoint(
     path: str, params_template: Any, opt_state_template: Any = None
 ) -> Tuple[int, Any, Any, Optional[ExperimentConfig]]:

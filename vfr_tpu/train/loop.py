@@ -30,6 +30,23 @@ from vfr_tpu.train.step import make_train_multi_step
 from vfr_tpu.utils.logging import MetricsLogger
 
 
+def init_train_params(rng, model, glove, feature_dim, tcfg):
+    """Model params + training-owned parameters.
+
+    Adds the CLIP-style learnable log-temperature (``params["log_tau"]``,
+    TrainConfig.learn_temperature) so the SAME template builds at train
+    time and at checkpoint-restore time (flax.serialization restores into
+    a structural template — eval/serve must construct the identical tree,
+    which is why this lives here and both ``train`` and ``load_for_eval``
+    call it)."""
+    import jax.numpy as jnp
+
+    params = init_model_params(rng, model, glove, feature_dim)
+    if tcfg.loss_type == "infonce" and tcfg.learn_temperature:
+        params["log_tau"] = jnp.log(jnp.float32(tcfg.temperature))
+    return params
+
+
 def train(
     cfg: ExperimentConfig,
     bundle: Optional[DataBundle] = None,
@@ -58,8 +75,9 @@ def train(
         logger = MetricsLogger(path)
 
     t_setup = time.perf_counter()
-    params = init_model_params(
-        jax.random.PRNGKey(tcfg.seed), model, bundle.glove, bundle.feature_dim
+    params = init_train_params(
+        jax.random.PRNGKey(tcfg.seed), model, bundle.glove,
+        bundle.feature_dim, tcfg,
     )
     steps_per_epoch = tcfg.steps_per_epoch or max(
         1, math.ceil(ds.num_queries / tcfg.batch_size)
@@ -139,6 +157,22 @@ def train(
         _cpu = jax.devices("cpu")[0]
         with jax.default_device(_cpu):
             _run_key = jax.random.PRNGKey(tcfg.seed)
+    # temperature anneal (TrainConfig.temperature_final, DESIGN 29):
+    # cosine ramp temperature -> temperature_final over all steps, shipped
+    # per-step as a batch operand so the schedule never recompiles
+    anneal_tau = None
+    if tcfg.loss_type == "infonce" and tcfg.temperature_final > 0:
+        if tcfg.learn_temperature:
+            raise ValueError(
+                "temperature_final and learn_temperature are mutually "
+                "exclusive (scheduled tau would mask the learned one)")
+        _t0, _tf, _T = tcfg.temperature, tcfg.temperature_final, total_steps
+
+        def anneal_tau(abs_step, _t0=_t0, _tf=_tf, _T=_T):
+            frac = min(max(abs_step / max(_T - 1, 1), 0.0), 1.0)
+            return np.float32(_tf + 0.5 * (_t0 - _tf)
+                              * (1.0 + math.cos(math.pi * frac)))
+
     # index-based hard inter-video negatives (train/hard_negatives.py):
     # re-mined every refresh from the CURRENT params' corpus index
     mined = None
@@ -183,6 +217,8 @@ def train(
                                   # replay exactly the unseen tail
                 if use_dropout:
                     b["dropout_rng"] = epoch_keys[i]
+                if anneal_tau is not None:
+                    b["tau_now"] = anneal_tau(e * steps_per_epoch + i)
                 if mined is not None:
                     b["hard_neg_video"] = mined[0][b["query_idx"]]
                     b["hard_neg_prop"] = mined[1][b["query_idx"]]
@@ -208,7 +244,8 @@ def train(
 
             def chunk_sharding(chunk):
                 return {
-                    k: (_repl if k == "dropout_rng" else _batch_sh)
+                    k: (_repl if k in ("dropout_rng", "tau_now")
+                        else _batch_sh)
                     for k in chunk
                 }
 
@@ -228,7 +265,7 @@ def train(
                 loss = float(aux["loss"])        # forces execution
                 now = time.perf_counter()
                 dt = (now - t_last) / k
-                logger.log("train", step, {
+                rec = {
                     "epoch": epoch,
                     "loss": loss,
                     "loss_intra": float(aux["loss_intra"]),
@@ -237,7 +274,10 @@ def train(
                     "grad_norm": float(aux["grad_norm"]),
                     "step_ms": 1e3 * dt,
                     "queries_per_sec": tcfg.batch_size / max(dt, 1e-9),
-                })
+                }
+                if "tau" in aux:          # learnable temperature (DESIGN 29)
+                    rec["tau"] = float(aux["tau"])
+                logger.log("train", step, rec)
                 t_last = now
                 if not np.isfinite(loss):
                     raise FloatingPointError(
@@ -269,11 +309,22 @@ def load_for_eval(cfg: ExperimentConfig, bundle: Optional[DataBundle] = None):
     if bundle is None:
         bundle = load_datasets(cfg.data)
     model = build_model(cfg, dataset=bundle.train)
-    params = init_model_params(
-        jax.random.PRNGKey(cfg.train.seed), model, bundle.glove,
-        bundle.feature_dim,
-    )
     ckpt = latest_checkpoint(cfg.train.checkpoint_dir)
+    # the params TEMPLATE must structurally match what training saved
+    # (flax restore-into-template); the checkpoint's own train config is
+    # authoritative for training-owned params like log_tau, so eval/serve
+    # need no extra CLI flags to open a learnable-temperature checkpoint
+    tcfg_tmpl = cfg.train
+    if ckpt:
+        from vfr_tpu.train.checkpoint import peek_config
+
+        cfg_ckpt = peek_config(ckpt)
+        if cfg_ckpt is not None:
+            tcfg_tmpl = cfg_ckpt.train
+    params = init_train_params(
+        jax.random.PRNGKey(cfg.train.seed), model, bundle.glove,
+        bundle.feature_dim, tcfg_tmpl,
+    )
     if ckpt:
         _, params, _, _ = restore_checkpoint(ckpt, params, None)
     return params, model, bundle

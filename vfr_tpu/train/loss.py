@@ -134,6 +134,7 @@ def infonce_loss(
     proposal_mask: Optional[jnp.ndarray] = None,   # [B, P] valid proposals
     hard_moments: Optional[Dict[str, jnp.ndarray]] = None,  # -> [B, H, d]
     hard_valid: Optional[jnp.ndarray] = None,               # [B, H] bool
+    log_tau: Optional[jnp.ndarray] = None,   # learnable log-temperature
 ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
     """Softmax contrastive objective over the same negatives as
     ``ranking_loss`` (``loss_type="infonce"``).
@@ -162,7 +163,14 @@ def infonce_loss(
     D = cross_distances(model, q, moments)          # [B, B, P]
     B, _, P = D.shape
     bidx = jnp.arange(B)
-    logits = -D / jnp.float32(tcfg.temperature)
+    if log_tau is not None:
+        # CLIP-style learnable temperature (TrainConfig.learn_temperature):
+        # exp keeps tau positive; the clamp floor sits below every tuned
+        # optimum but above the saturated-softmax stall region (DESIGN 28)
+        tau = jnp.clip(jnp.exp(log_tau), 5e-3, 1.0)
+    else:
+        tau = jnp.float32(tcfg.temperature)
+    logits = -D / tau
 
     l_own = logits[bidx, bidx]                      # [B, P]
     pos_logit = l_own[bidx, target]                 # [B]
@@ -180,7 +188,7 @@ def infonce_loss(
     l_hard = jnp.float32(0.0)
     if hard_moments is not None:
         d_hard = _fused_hard_distances(model, q, hard_moments)  # [B, H]
-        hlog = -d_hard / jnp.float32(tcfg.temperature)
+        hlog = -d_hard / tau
         hv = (
             jnp.ones(hlog.shape, bool) if hard_valid is None else hard_valid
         )
@@ -206,13 +214,20 @@ def infonce_loss(
         "pos_dist": jnp.mean(D_own[bidx, target]),
         "train_r1": acc,
     }
+    if log_tau is not None:
+        aux["tau"] = tau                  # observability for the learned tau
     return loss, aux
 
 
-def compute_loss(model: Model, tcfg: TrainConfig, *args, **kwargs):
-    """Dispatch on ``tcfg.loss_type`` — the single entry the train step uses."""
+def compute_loss(model: Model, tcfg: TrainConfig, *args, log_tau=None,
+                 **kwargs):
+    """Dispatch on ``tcfg.loss_type`` — the single entry the train step uses.
+
+    ``log_tau`` (the learnable-temperature parameter, train/loop.py
+    ``init_train_params``) is consumed by infonce only; the triplet loss
+    has no temperature, so it is dropped there."""
     if tcfg.loss_type == "triplet":
         return ranking_loss(model, tcfg, *args, **kwargs)
     if tcfg.loss_type == "infonce":
-        return infonce_loss(model, tcfg, *args, **kwargs)
+        return infonce_loss(model, tcfg, *args, log_tau=log_tau, **kwargs)
     raise ValueError(f"unknown loss_type {tcfg.loss_type!r}")

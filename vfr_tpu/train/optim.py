@@ -30,8 +30,10 @@ def make_schedule(tcfg: TrainConfig, total_steps: int = 0):
 
 def _decay_mask(params):
     """adamw weight decay is gradient-independent, so stop_gradient alone
-    does not protect the frozen GloVe table — mask it out of decay."""
-    return {k: (k != "embeddings") for k in params}
+    does not protect the frozen GloVe table — mask it out of decay.  The
+    learnable log-temperature is a loss hyperparameter, not a weight;
+    decaying it toward 0 would silently drag tau toward 1."""
+    return {k: k not in ("embeddings", "log_tau") for k in params}
 
 
 def make_optimizer(

@@ -93,6 +93,13 @@ def loss_from_batch(
             for s in model.streams
         }
         hard_valid = hv >= 0
+    # temperature resolution (infonce): a scheduled per-step tau rides the
+    # batch as an operand ("tau_now", train/loop.py anneal — zero
+    # recompiles); else the learnable log_tau param; else tcfg.temperature
+    if "tau_now" in batch:
+        log_tau = jnp.log(batch["tau_now"].astype(jnp.float32))
+    else:
+        log_tau = params.get("log_tau")
     return compute_loss(
         model, tcfg, q, m,
         target=batch["target"],
@@ -100,6 +107,7 @@ def loss_from_batch(
         proposal_mask=batch.get("window_mask"),
         hard_moments=hard_m,
         hard_valid=hard_valid,
+        log_tau=log_tau,
     )
 
 
