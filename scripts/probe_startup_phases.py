@@ -74,18 +74,18 @@ def main():
     # trace+lower happens on the host; compile goes through the remote
     # tunnel (or the persistent cache); exec1 includes arg transfer
     t0 = time.perf_counter()
-    lowered = fn.jitted.lower(params, opt_state, chunk, None, fn.banks)
+    lowered = fn.jitted.lower(params, opt_state, None, chunk, None, fn.banks)
     t_lower = time.perf_counter() - t0
     t0 = time.perf_counter()
     compiled = lowered.compile()
     t_compile = time.perf_counter() - t0
     t0 = time.perf_counter()
-    out = compiled(params, opt_state, chunk, None, fn.banks)
-    _ = float(out[2]["loss"])    # forces execution
+    out = compiled(params, opt_state, None, chunk, None, fn.banks)
+    _ = float(out[3]["loss"])    # forces execution
     t_exec1 = time.perf_counter() - t0
     t0 = time.perf_counter()
-    out = compiled(*out[:2], chunk, None, fn.banks)
-    _ = float(out[2]["loss"])
+    out = compiled(*out[:2], None, chunk, None, fn.banks)
+    _ = float(out[3]["loss"])
     t_exec2 = time.perf_counter() - t0
     print(f"lower_s={t_lower:.1f} compile_s={t_compile:.1f} "
           f"exec1_s={t_exec1:.2f} exec2_s={t_exec2:.2f}", flush=True)

@@ -65,6 +65,10 @@ def main():
                     choices=("triplet", "infonce"))
     ap.add_argument("--temperature", type=float, default=0.02)
     ap.add_argument("--lambda-inter", type=float, default=1.0)
+    ap.add_argument("--ema-decay", type=float, default=0.999,
+                    help="Polyak-average the params; eval/serving use the "
+                         "average (flagship recipe default, DESIGN 30; "
+                         "0 = off)")
     ap.add_argument("--distance", default="cosine",
                     choices=("", "sqeuclidean", "euclidean", "cosine"),
                     help="ModelConfig.distance override; the committed "
@@ -118,6 +122,7 @@ def main():
             # validated (docs/DESIGN.md entry 11/16)
             loss_type=args.loss_type,
             temperature=args.temperature,
+            ema_decay=args.ema_decay,
             lambda_inter=args.lambda_inter,
             inter_negatives="all_spans",
             hard_negative_count=8,
@@ -204,6 +209,7 @@ def main():
 
     out = {
         "preset": "charades_sta",
+        "ema_decay": cfg.train.ema_decay,
         "loss": {"type": cfg.train.loss_type,
                  "temperature": cfg.train.temperature,
                  "lambda_intra": cfg.train.lambda_intra,

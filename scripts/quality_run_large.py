@@ -79,6 +79,10 @@ def main():
     ap.add_argument("--temperature-final", type=float, default=0.0,
                     help="probe: cosine-anneal tau to this value "
                          "(0 = constant)")
+    ap.add_argument("--ema-decay", type=float, default=0.999,
+                    help="Polyak-average the params; eval/serving use the "
+                         "average (committed recipe: 0.999 — +22% corpus "
+                         "video R@1 at zero step cost, DESIGN 30; 0 = off)")
     ap.add_argument("--joint-dim", type=int, default=0,
                     help="capacity probe: override ModelConfig.joint_dim "
                          "(0 = preset default; committed artifact uses it)")
@@ -139,6 +143,7 @@ def main():
             temperature=args.temperature,
             learn_temperature=args.learn_temperature,
             temperature_final=args.temperature_final,
+            ema_decay=args.ema_decay,
             hard_negative_count=args.hard_negative_count,
             hard_negative_start_epoch=3,
             hard_negative_refresh_epochs=1,
@@ -238,6 +243,7 @@ def main():
     out = {
         "preset": "didemo_fusion",
         "bank_dtype": cfg.data.bank_dtype,
+        "ema_decay": cfg.train.ema_decay,
         "loss": {"type": cfg.train.loss_type,
                  "temperature": cfg.train.temperature,
                  "learn_temperature": cfg.train.learn_temperature,

@@ -2,15 +2,16 @@
 
 scripts/quality_run_large.py trains the flagship didemo_fusion recipe
 (InfoNCE over cosine distance, tau 0.02 / lambda_inter 1.0 + mining
-count 8 / refresh every epoch — docs/DESIGN.md 11b/27/28) on a
-10,000-video fixture and evaluates corpus retrieval against the full
-210,000-row moment index — the corpus scale BASELINE.json:10-11 names,
-not the 256-video fixture the small artifact uses.  Committed artifact
-(2026-08-18, cosine-infonce recipe): corpus video R@1 0.114 = 1,140x
-the 1e-4 chance floor (r2-era triplet recipe: 0.0312; sqeuclidean
-infonce: 0.060 on the same fixture), video R@5 0.207, localization
-R@1@0.5 0.868 / mIoU 0.816, steady mining refresh median ~2.2 s/epoch
-over 56k training queries.
+count 8 / refresh every epoch + Polyak-averaged serving weights
+ema_decay 0.999 — docs/DESIGN.md 11b/27/28/30) on a 10,000-video
+fixture and evaluates corpus retrieval against the full 210,000-row
+moment index — the corpus scale BASELINE.json:10-11 names, not the
+256-video fixture the small artifact uses.  Committed artifact
+(2026-08-19, cosine-infonce + EMA recipe): corpus video R@1 0.139 =
+1,390x the 1e-4 chance floor (no-EMA cosine-infonce: 0.114; r2-era
+triplet recipe: 0.0312), video R@5 0.247, localization R@1@0.5 0.886 /
+mIoU 0.834, steady mining refresh median ~2.0 s/epoch over 56k
+training queries.
 
 Thresholds sit at roughly half the committed numbers (and >=100x chance
 for the corpus metrics) so rerun jitter passes while a mining/loss/
@@ -46,10 +47,10 @@ def test_corpus_retrieval_far_above_chance_at_scale():
     out = _load()
     m = out["corpus"]
     chance_v1 = out["chance_video_R@1"]               # 1e-4 at 10k videos
-    assert m["corpus_video_R@1"] >= max(100 * chance_v1, 0.06), (
+    assert m["corpus_video_R@1"] >= max(100 * chance_v1, 0.08), (
         m, chance_v1)
-    assert m["corpus_video_R@5"] >= 0.10, m
-    assert m["corpus_R@1_tiou0.5"] >= 0.055, m
+    assert m["corpus_video_R@5"] >= 0.14, m
+    assert m["corpus_R@1_tiou0.5"] >= 0.075, m
     # internal consistency
     assert m["corpus_video_R@5"] >= m["corpus_video_R@1"]
     assert m["corpus_R@5_tiou0.5"] <= m["corpus_video_R@5"]
@@ -57,8 +58,8 @@ def test_corpus_retrieval_far_above_chance_at_scale():
 
 def test_localization_in_healthy_band_at_scale():
     m = _load()["eval_threshold"]
-    assert m["R@1_tiou0.5"] >= 0.65, m                # committed 0.868
-    assert m["R@5_tiou0.5"] >= 0.80, m                # committed 0.958
+    assert m["R@1_tiou0.5"] >= 0.65, m                # committed 0.886
+    assert m["R@5_tiou0.5"] >= 0.80, m                # committed 0.984
     assert m["R@5_tiou0.5"] >= m["R@1_tiou0.5"]
     assert 0.45 <= m["mIoU"] <= 1.0, m
 
@@ -67,6 +68,15 @@ def test_official_protocol_consistent_at_scale():
     m = _load()["eval_official"]
     assert m["R@5_official"] >= m["R@1_official"] >= 0.25, m
     assert np.isfinite(m["mIoU_official"])
+
+
+def test_recipe_uses_polyak_averaged_serving_weights():
+    """The committed recipe Polyak-averages the params (ema_decay 0.999,
+    DESIGN 30): +22% corpus video R@1 over the same run without it, and
+    the knob that makes 'more epochs' safe (the raw trajectory DEGRADES
+    past ~20 epochs — 40-epoch raw run: 0.091)."""
+    out = _load()
+    assert out.get("ema_decay", 0.0) > 0, "flagship recipe lost its EMA"
 
 
 def test_mining_refresh_cost_recorded_and_cheap():

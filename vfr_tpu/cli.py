@@ -61,6 +61,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="infonce: cosine-anneal tau from --temperature to "
                         "this value over training (soft early / sharp "
                         "late; avoids the low-tau stall, DESIGN 29)")
+    t.add_argument("--ema-decay", type=float, default=None,
+                   help="Polyak-average the params (ema <- d*ema + "
+                        "(1-d)*params each step); eval/serving read the "
+                        "average, raw params keep training (0 = off)")
     t.add_argument("--resume", action="store_true")
     t.add_argument("--data-parallel", action="store_true",
                    help="shard the batch over all local devices")
@@ -226,6 +230,8 @@ def apply_overrides(cfg, args):
         tkw["learn_temperature"] = True
     if getattr(args, "temperature_final", None) is not None:
         tkw["temperature_final"] = args.temperature_final
+    if getattr(args, "ema_decay", None) is not None:
+        tkw["ema_decay"] = args.ema_decay
     if getattr(args, "hard_negatives", None) is not None:
         tkw["hard_negative_count"] = args.hard_negatives
     if getattr(args, "hard_negative_refresh", None) is not None:

@@ -110,6 +110,14 @@ class TrainConfig:
     momentum: float = 0.9
     weight_decay: float = 0.0
     grad_clip_norm: float = 0.0         # 0 = off
+    # Exponential moving average of the parameters (Polyak averaging):
+    # > 0 maintains ema <- d*ema + (1-d)*params after every optimizer step
+    # (inside the fused multi-step scan — one tree of FMAs over ~10 MB of
+    # params, free next to the step's GEMMs) and uses the EMA weights for
+    # eval/checkpointed serving while raw params keep training.  Contrastive
+    # recipes are noisy near convergence; the average is the standard
+    # variance-reduction knob.  0 = off (exact pre-EMA program).
+    ema_decay: float = 0.0
     # Objective.  "triplet" is the reference-lineage max-margin ranking loss
     # (BASELINE.json:5); "infonce" is a softmax contrastive alternative
     # (one cross-entropy over the same [B,B,P] cross-distance tensor +

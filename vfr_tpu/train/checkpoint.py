@@ -28,6 +28,7 @@ def save_checkpoint(
     opt_state: Any,
     config: Optional[ExperimentConfig] = None,
     keep: int = 3,
+    ema: Any = None,
 ) -> str:
     os.makedirs(ckpt_dir, exist_ok=True)
     payload = {
@@ -36,6 +37,11 @@ def save_checkpoint(
         "opt_state": opt_state,
         "config_json": config.to_json() if config else "",
     }
+    if ema is not None:
+        # Polyak average (TrainConfig.ema_decay): stored under its own key
+        # ONLY when enabled, so ema-off checkpoints keep the original
+        # format byte-layout and old checkpoints restore unchanged
+        payload["ema"] = ema
     path = os.path.join(ckpt_dir, f"ckpt_{step:08d}.msgpack")
     tmp = path + ".tmp"
     with open(tmp, "wb") as f:
@@ -69,6 +75,17 @@ def peek_config(path: str) -> Optional[ExperimentConfig]:
     return ExperimentConfig.from_json(cj) if cj else None
 
 
+def restore_ema(path: str, params_template: Any) -> Any:
+    """Restore the Polyak-averaged params stored by an ``ema_decay > 0``
+    run.  Falls back to the RAW params when the checkpoint predates EMA (or
+    was trained with it off) — resuming such a run re-seeds the average
+    from the current weights, which is exactly the fresh-start semantics."""
+    with open(path, "rb") as f:
+        raw = serialization.msgpack_restore(f.read())
+    key = "ema" if "ema" in raw else "params"
+    return serialization.from_state_dict(params_template, raw[key])
+
+
 def restore_checkpoint(
     path: str, params_template: Any, opt_state_template: Any = None
 ) -> Tuple[int, Any, Any, Optional[ExperimentConfig]]:
@@ -81,6 +98,12 @@ def restore_checkpoint(
         "opt_state": opt_state_template,
         "config_json": "",
     }
+    # flax dict restore requires EXACT key match; an ema_decay run stores
+    # the extra "ema" tree (same structure as params) — mirror it into the
+    # target so both old and ema checkpoints open with one code path
+    stored = serialization.msgpack_restore(raw)
+    if "ema" in stored:
+        target["ema"] = params_template
     payload = serialization.from_bytes(target, raw)
     cfg = (
         ExperimentConfig.from_json(payload["config_json"])

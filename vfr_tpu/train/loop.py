@@ -85,6 +85,12 @@ def train(
     total_steps = steps_per_epoch * tcfg.num_epochs
     opt = make_optimizer(tcfg, total_steps)
     opt_state = opt.init(params)
+    # Polyak average of the params (TrainConfig.ema_decay): a SEPARATE tree
+    # updated inside the fused step; eval/checkpoint/serving read the
+    # average, raw params keep training.  Deep-copied so the first donated
+    # dispatch doesn't donate the same buffers twice.
+    ema = (jax.tree.map(lambda x: x.copy(), params)
+           if tcfg.ema_decay > 0 else None)
     start_step = 0
     if resume:
         ckpt = latest_checkpoint(tcfg.checkpoint_dir)
@@ -92,6 +98,10 @@ def train(
             start_step, params, opt_state, _ = restore_checkpoint(
                 ckpt, params, opt_state
             )
+            if ema is not None:
+                from vfr_tpu.train.checkpoint import restore_ema
+
+                ema = restore_ema(ckpt, params)
             logger.log("resume", start_step, {"checkpoint": ckpt})
 
     # One-time feature upload: the whole corpus' clip features live in HBM
@@ -260,7 +270,12 @@ def train(
         try:
             for chunk in chunks:
                 k = chunk["tokens"].shape[0]
-                params, opt_state, aux = multi_step_fn(params, opt_state, chunk)
+                if ema is None:
+                    params, opt_state, aux = multi_step_fn(
+                        params, opt_state, chunk)
+                else:
+                    params, opt_state, ema, aux = multi_step_fn(
+                        params, opt_state, chunk, ema)
                 step += k
                 loss = float(aux["loss"])        # forces execution
                 now = time.perf_counter()
@@ -288,19 +303,21 @@ def train(
 
         if ((epoch + 1) % max(tcfg.eval_every_epochs, 1) == 0
                 or epoch == tcfg.num_epochs - 1):
-            metrics = evaluate(params, model, val_ds, cfg.eval,
-                               feature_banks=val_banks)
+            metrics = evaluate(ema if ema is not None else params, model,
+                               val_ds, cfg.eval, feature_banks=val_banks)
             logger.log("eval", step, metrics)
             final_metrics = metrics
         if (epoch + 1) % tcfg.checkpoint_every_epochs == 0 or epoch == tcfg.num_epochs - 1:
             save_checkpoint(
                 tcfg.checkpoint_dir, step, params, opt_state, cfg,
-                keep=tcfg.keep_checkpoints,
+                keep=tcfg.keep_checkpoints, ema=ema,
             )
 
     if own_logger:
         logger.close()
-    return params, final_metrics
+    # serving/eval weights: the Polyak average when enabled (raw params can
+    # be recovered from the checkpoint, which stores both)
+    return (ema if ema is not None else params), final_metrics
 
 
 def load_for_eval(cfg: ExperimentConfig, bundle: Optional[DataBundle] = None):
@@ -326,7 +343,13 @@ def load_for_eval(cfg: ExperimentConfig, bundle: Optional[DataBundle] = None):
         bundle.feature_dim, tcfg_tmpl,
     )
     if ckpt:
-        _, params, _, _ = restore_checkpoint(ckpt, params, None)
+        if getattr(tcfg_tmpl, "ema_decay", 0.0) > 0:
+            # ema_decay run: the Polyak average IS the serving weights
+            from vfr_tpu.train.checkpoint import restore_ema
+
+            params = restore_ema(ckpt, params)
+        else:
+            _, params, _, _ = restore_checkpoint(ckpt, params, None)
     return params, model, bundle
 
 def _stack_chunk(batches):

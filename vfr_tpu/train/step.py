@@ -111,6 +111,18 @@ def loss_from_batch(
     )
 
 
+def _ema_update(ema, params, decay: float):
+    """One Polyak step: ema + (1-d)*(params - ema), element-wise over the
+    whole tree (frozen leaves like the GloVe table are fixed points, so
+    averaging them is exact, just redundant).  ``decay`` is a Python float
+    baked into the program — a fixed decay never recompiles and a swept one
+    costs one compile per value, like every other recipe constant."""
+    if decay <= 0 or ema is None:
+        return ema
+    d = jnp.float32(decay)
+    return jax.tree.map(lambda e, p: e + (1.0 - d) * (p - e), ema, params)
+
+
 def make_train_step(
     model: Model,
     tcfg: TrainConfig,
@@ -128,7 +140,7 @@ def make_train_step(
     features never cross the host/device boundary after the one-time bank
     upload."""
 
-    def _step(params, opt_state, batch, dropout_rng, banks):
+    def _step(params, opt_state, ema, batch, dropout_rng, banks):
         (loss, aux), grads = jax.value_and_grad(
             lambda p: loss_from_batch(p, model, tcfg, batch, dropout_rng,
                                       banks),
@@ -136,11 +148,12 @@ def make_train_step(
         )(params)
         updates, opt_state = optimizer.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
+        ema = _ema_update(ema, params, tcfg.ema_decay)
         aux["grad_norm"] = optax.global_norm(grads)
-        return params, opt_state, aux
+        return params, opt_state, ema, aux
 
     if mesh is None:
-        jitted = jax.jit(_step, donate_argnums=(0, 1))
+        jitted = jax.jit(_step, donate_argnums=(0, 1, 2))
         banks = feature_banks
     else:
         repl = jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec())
@@ -149,9 +162,9 @@ def make_train_step(
         )
         jitted = jax.jit(
             _step,
-            in_shardings=(repl, repl, batch_sh, repl, repl),
-            out_shardings=(repl, repl, repl),
-            donate_argnums=(0, 1),
+            in_shardings=(repl, repl, repl, batch_sh, repl, repl),
+            out_shardings=(repl, repl, repl, repl),
+            donate_argnums=(0, 1, 2),
         )
         banks = (
             jax.device_put(feature_banks, repl)
@@ -159,10 +172,15 @@ def make_train_step(
             else None
         )
 
-    def step(params, opt_state, batch):
+    def step(params, opt_state, batch, ema=None):
         batch = dict(batch)
         dropout_rng = batch.pop("dropout_rng", None)
-        return jitted(params, opt_state, batch, dropout_rng, banks)
+        params, opt_state, ema, aux = jitted(
+            params, opt_state, ema, batch, dropout_rng, banks
+        )
+        if tcfg.ema_decay > 0:
+            return params, opt_state, ema, aux
+        return params, opt_state, aux
 
     return step
 
@@ -189,9 +207,9 @@ def make_train_multi_step(
     ``aux_mean`` averages the per-step metrics.  Distinct K values compile
     once each (jit shape cache)."""
 
-    def _multi(params, opt_state, chunk, rngs, banks):
+    def _multi(params, opt_state, ema, chunk, rngs, banks):
         def body(carry, xs):
-            p, s = carry
+            p, s, e = carry
             batch, rng = xs
             (loss, aux), grads = jax.value_and_grad(
                 lambda pp: loss_from_batch(pp, model, tcfg, batch, rng, banks),
@@ -199,17 +217,18 @@ def make_train_multi_step(
             )(p)
             updates, s = optimizer.update(grads, s, p)
             p = optax.apply_updates(p, updates)
+            e = _ema_update(e, p, tcfg.ema_decay)
             aux["grad_norm"] = optax.global_norm(grads)
-            return (p, s), aux
+            return (p, s, e), aux
 
-        (params, opt_state), auxs = jax.lax.scan(
-            body, (params, opt_state), (chunk, rngs)
+        (params, opt_state, ema), auxs = jax.lax.scan(
+            body, (params, opt_state, ema), (chunk, rngs)
         )
         aux_mean = jax.tree.map(lambda x: jnp.mean(x, axis=0), auxs)
-        return params, opt_state, aux_mean
+        return params, opt_state, ema, aux_mean
 
     if mesh is None:
-        jitted = jax.jit(_multi, donate_argnums=(0, 1))
+        jitted = jax.jit(_multi, donate_argnums=(0, 1, 2))
         banks = feature_banks
     else:
         repl = jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec())
@@ -218,9 +237,9 @@ def make_train_multi_step(
         )
         jitted = jax.jit(
             _multi,
-            in_shardings=(repl, repl, chunk_sh, repl, repl),
-            out_shardings=(repl, repl, repl),
-            donate_argnums=(0, 1),
+            in_shardings=(repl, repl, repl, chunk_sh, repl, repl),
+            out_shardings=(repl, repl, repl, repl),
+            donate_argnums=(0, 1, 2),
         )
         banks = (
             jax.device_put(feature_banks, repl)
@@ -228,10 +247,15 @@ def make_train_multi_step(
             else None
         )
 
-    def multi_step(params, opt_state, chunk):
+    def multi_step(params, opt_state, chunk, ema=None):
         chunk = dict(chunk)
         rngs = chunk.pop("dropout_rng", None)   # [K, 2] or None, replicated
-        return jitted(params, opt_state, chunk, rngs, banks)
+        params, opt_state, ema, aux = jitted(
+            params, opt_state, ema, chunk, rngs, banks
+        )
+        if tcfg.ema_decay > 0:
+            return params, opt_state, ema, aux
+        return params, opt_state, aux
 
     # introspection handles (AOT lower/compile, startup probes)
     multi_step.jitted = jitted
