@@ -47,8 +47,10 @@ class FeatureStore:
         return out
 
     def save_npz(self, path: str) -> None:
+        from vfr_tpu.utils.io import atomic_savez
+
         os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
-        np.savez_compressed(path, **self._table)
+        atomic_savez(path, compressed=True, **self._table)
 
     @classmethod
     def load(cls, path: str):

@@ -308,23 +308,24 @@ def _block_centroids(m_low, msq_low, G: int, block_rows: int):
 
 def save_coarse(coarse: CoarseIndex, path: str) -> str:
     """Persist the coarse operands (the full-row stage-2 operands are NOT
-    duplicated here — reload them from the main index .npz)."""
-    if not path.endswith(".npz"):
-        path += ".npz"
+    duplicated here — reload them from the main index .npz).  Atomic
+    write (tmp + os.replace, utils/io.py)."""
     m_low = np.asarray(coarse.m_low)
     if coarse.m_low.dtype == jnp.bfloat16:
         m_store, m_dtype = np.asarray(coarse.m_low).view(np.uint16), "bfloat16"
     else:
         m_store, m_dtype = m_low.astype(np.float32), "float32"
-    np.savez(path, proj=np.asarray(coarse.proj, np.float32),
-             m_low=m_store, m_dtype=np.asarray(m_dtype),
-             msq_low=np.asarray(coarse.msq_low, np.float32),
-             c_low=np.asarray(coarse.c_low, np.float32),
-             csq=np.asarray(coarse.csq, np.float32),
-             perm=np.asarray(coarse.perm, np.int32),
-             n_rows=np.asarray(coarse.n_rows),
-             block_rows=np.asarray(coarse.block_rows))
-    return path
+    from vfr_tpu.utils.io import atomic_savez
+
+    return atomic_savez(
+        path, proj=np.asarray(coarse.proj, np.float32),
+        m_low=m_store, m_dtype=np.asarray(m_dtype),
+        msq_low=np.asarray(coarse.msq_low, np.float32),
+        c_low=np.asarray(coarse.c_low, np.float32),
+        csq=np.asarray(coarse.csq, np.float32),
+        perm=np.asarray(coarse.perm, np.int32),
+        n_rows=np.asarray(coarse.n_rows),
+        block_rows=np.asarray(coarse.block_rows))
 
 
 def load_coarse(path: str, index: MomentIndex) -> CoarseIndex:

@@ -311,9 +311,9 @@ def save_index(index: MomentIndex, path: str) -> str:
 
     One .npz file; a bfloat16 index is stored as its raw uint16 bit
     pattern with a dtype tag (bit-exact round trip).  Returns the actual
-    path written (np.savez appends '.npz' when missing)."""
-    if not path.endswith(".npz"):
-        path += ".npz"
+    path written (np.savez appends '.npz' when missing).  The write is
+    atomic (tmp + os.replace, utils/io.py): an interrupted save leaves
+    the previous snapshot readable."""
     m = np.asarray(index.m)
     if index.m.dtype == jnp.bfloat16:
         m_store = np.asarray(index.m).view(np.uint16)
@@ -326,7 +326,9 @@ def save_index(index: MomentIndex, path: str) -> str:
         import json
 
         extra["fingerprint"] = np.asarray(json.dumps(index.fingerprint))
-    np.savez(
+    from vfr_tpu.utils.io import atomic_savez
+
+    return atomic_savez(
         path,
         m=m_store,
         m_dtype=np.asarray(m_dtype),
@@ -337,7 +339,6 @@ def save_index(index: MomentIndex, path: str) -> str:
         weights=np.asarray(index.weights, np.float32),
         **extra,
     )
-    return path
 
 
 def load_index(path: str) -> MomentIndex:

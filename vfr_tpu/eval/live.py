@@ -510,9 +510,10 @@ def save_arena(live: LiveIndex, path: str, params=None, model=None) -> str:
     append/remove applied so far, which no `cli index` rebuild from the
     base dataset would contain.  bf16 operands round-trip bit-exactly
     (raw uint16).  With ``params``/``model`` a provenance fingerprint is
-    stored and validated at load (same contract as save_index)."""
-    if not path.endswith(".npz"):
-        path += ".npz"
+    stored and validated at load (same contract as save_index).  Written
+    atomically (tmp + os.replace, utils/io.py): the arena snapshot is
+    exactly the file a daemon restart boots from (`--live-arena`), so a
+    crash mid-`!save` must not destroy the previous good snapshot."""
     m = np.asarray(live.m_cat)
     if live.m_cat.dtype == jnp.bfloat16:
         m_store, m_dtype = m.view(np.uint16), "bfloat16"
@@ -527,17 +528,19 @@ def save_arena(live: LiveIndex, path: str, params=None, model=None) -> str:
         shim = SimpleNamespace(video_ids=live.video_ids)
         fp = index_fingerprint(params, model, shim, live.num_videos)
         extra["fingerprint"] = np.asarray(json.dumps(fp))
-    np.savez(path, m_cat=m_store, m_dtype=np.asarray(m_dtype),
-             msq_fused=np.asarray(live.msq_fused, np.float32),
-             video_row=live.video_row, prop_idx=live.prop_idx,
-             spans_sec=live.spans_sec,
-             video_ids=np.asarray(live.video_ids),
-             weights=np.asarray(live.weights, np.float32),
-             used_rows=np.asarray(live.used_rows),
-             rows_per_video=np.asarray(live.rows_per_video),
-             index_dtype=np.asarray(live.index_dtype),
-             **extra)
-    return path
+    from vfr_tpu.utils.io import atomic_savez
+
+    return atomic_savez(
+        path, m_cat=m_store, m_dtype=np.asarray(m_dtype),
+        msq_fused=np.asarray(live.msq_fused, np.float32),
+        video_row=live.video_row, prop_idx=live.prop_idx,
+        spans_sec=live.spans_sec,
+        video_ids=np.asarray(live.video_ids),
+        weights=np.asarray(live.weights, np.float32),
+        used_rows=np.asarray(live.used_rows),
+        rows_per_video=np.asarray(live.rows_per_video),
+        index_dtype=np.asarray(live.index_dtype),
+        **extra)
 
 
 def load_arena(path: str, params=None, model=None,

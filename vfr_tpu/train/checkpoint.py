@@ -79,38 +79,48 @@ def restore_ema(path: str, params_template: Any) -> Any:
     """Restore the Polyak-averaged params stored by an ``ema_decay > 0``
     run.  Falls back to the RAW params when the checkpoint predates EMA (or
     was trained with it off) — resuming such a run re-seeds the average
-    from the current weights, which is exactly the fresh-start semantics."""
+    from the current weights, which is exactly the fresh-start semantics.
+
+    The fallback is WARNED, not silent: the eval/serving path also calls
+    this (train/loop.py::load_for_eval), and a checkpoint whose config
+    says ema_decay > 0 but lacks the tree (mixed-version or truncated
+    file) would otherwise serve raw weights while claiming the average
+    (ADVICE r3)."""
     with open(path, "rb") as f:
         raw = serialization.msgpack_restore(f.read())
-    key = "ema" if "ema" in raw else "params"
-    return serialization.from_state_dict(params_template, raw[key])
+    if "ema" not in raw:
+        import warnings
+
+        warnings.warn(
+            f"checkpoint {path} has no 'ema' tree; restoring RAW params "
+            "instead of the Polyak average (expected only for checkpoints "
+            "written before EMA was enabled)",
+            stacklevel=2,
+        )
+        return serialization.from_state_dict(params_template, raw["params"])
+    return serialization.from_state_dict(params_template, raw["ema"])
 
 
 def restore_checkpoint(
     path: str, params_template: Any, opt_state_template: Any = None
 ) -> Tuple[int, Any, Any, Optional[ExperimentConfig]]:
-    """Restore into the given pytree templates (shapes/dtypes from init)."""
+    """Restore into the given pytree templates (shapes/dtypes from init).
+
+    ONE msgpack parse: the payload is deserialized once and each tree is
+    restored into its template via ``from_state_dict`` — a second
+    ``from_bytes`` pass would re-parse the whole file, doubling restore
+    time and peak host memory at spec-scale checkpoints (ADVICE r3)."""
     with open(path, "rb") as f:
-        raw = f.read()
-    target = {
-        "step": 0,
-        "params": params_template,
-        "opt_state": opt_state_template,
-        "config_json": "",
-    }
-    # flax dict restore requires EXACT key match; an ema_decay run stores
-    # the extra "ema" tree (same structure as params) — mirror it into the
-    # target so both old and ema checkpoints open with one code path
-    stored = serialization.msgpack_restore(raw)
-    if "ema" in stored:
-        target["ema"] = params_template
-    payload = serialization.from_bytes(target, raw)
-    cfg = (
-        ExperimentConfig.from_json(payload["config_json"])
-        if payload["config_json"]
-        else None
+        stored = serialization.msgpack_restore(f.read())
+    params = serialization.from_state_dict(params_template, stored["params"])
+    opt_state = (
+        serialization.from_state_dict(opt_state_template, stored["opt_state"])
+        if opt_state_template is not None
+        else stored["opt_state"]
     )
-    return int(payload["step"]), payload["params"], payload["opt_state"], cfg
+    cj = stored.get("config_json", "")
+    cfg = ExperimentConfig.from_json(cj) if cj else None
+    return int(stored["step"]), params, opt_state, cfg
 
 
 def _gc(ckpt_dir: str, keep: int) -> None:

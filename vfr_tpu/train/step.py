@@ -131,9 +131,18 @@ def make_train_step(
     data_axis: str = "data",
     feature_banks: Optional[Dict[str, jnp.ndarray]] = None,
 ):
-    """Returns jitted ``train_step(params, opt_state, batch) -> (params,
-    opt_state, metrics)``.  With ``mesh``, batch arrays are sharded over
-    ``data_axis`` and params/optimizer state are replicated (DP over ICI).
+    """Returns jitted ``train_step``.  Call arity follows ``tcfg.ema_decay``:
+
+    * ``ema_decay == 0``: ``train_step(params, opt_state, batch) ->
+      (params, opt_state, metrics)``.
+    * ``ema_decay > 0``: ``train_step(params, opt_state, batch, ema) ->
+      (params, opt_state, ema, metrics)`` — the Polyak-average tree is a
+      required fourth argument (omitting it raises: silently training
+      without the average a config asked for is the bug class ADVICE r3
+      flagged).
+
+    With ``mesh``, batch arrays are sharded over ``data_axis`` and
+    params/optimizer state are replicated (DP over ICI).
 
     ``feature_banks`` (stream -> [V, C, F], device-resident) switches the
     step to id-gather mode: batches carry ``video_idx`` only and clip
@@ -173,6 +182,7 @@ def make_train_step(
         )
 
     def step(params, opt_state, batch, ema=None):
+        _check_ema_arg(tcfg, ema)
         batch = dict(batch)
         dropout_rng = batch.pop("dropout_rng", None)
         params, opt_state, ema, aux = jitted(
@@ -183,6 +193,20 @@ def make_train_step(
         return params, opt_state, aux
 
     return step
+
+
+def _check_ema_arg(tcfg: TrainConfig, ema) -> None:
+    """ema_decay > 0 makes the ema tree a REQUIRED call argument: with
+    ema=None the update is a silent no-op (``_ema_update`` returns None)
+    and a caller configured for averaging would train without it and get
+    no signal (ADVICE r3)."""
+    if tcfg.ema_decay > 0 and ema is None:
+        raise ValueError(
+            f"TrainConfig.ema_decay={tcfg.ema_decay} > 0 but no ema tree "
+            "was passed to the train step; seed it from the initial params "
+            "(ema = jax.tree.map(lambda x: x.copy(), params)) and thread "
+            "the returned tree through every call"
+        )
 
 
 def make_train_multi_step(
@@ -248,6 +272,7 @@ def make_train_multi_step(
         )
 
     def multi_step(params, opt_state, chunk, ema=None):
+        _check_ema_arg(tcfg, ema)
         chunk = dict(chunk)
         rngs = chunk.pop("dropout_rng", None)   # [K, 2] or None, replicated
         params, opt_state, ema, aux = jitted(
