@@ -243,6 +243,97 @@ def main():
 
     sec_train = device_seconds_per_iter(train_body, train_batch["tokens"])
 
+    # --- FLAGSHIP training step (VERDICT r3 missing #4): the step the
+    # committed quality artifacts actually pay — InfoNCE over cosine
+    # distance + 8 mined hard negatives in the denominator + the EMA tree
+    # FMA — measured for BOTH flagship presets at B=64 with the same
+    # elision-proof harness.  DESIGN 16's probe put the mining-on step at
+    # ~0.525 ms (DiDeMo) / ~0.874 ms (Charades, P=64 windows).
+    import dataclasses as _dc
+
+    import optax as _optax
+
+    from vfr_tpu.train.step import _ema_update
+
+    V_BANK, HN = 256, 8
+
+    def flagship_step_seconds(preset):
+        fcfg = get_preset(preset)
+        rngf = np.random.default_rng(11)
+        if fcfg.data.dataset == "charades_sta":
+            from vfr_tpu.data.charades import CharadesSTADataset
+            from vfr_tpu.data.synthetic import make_charades_fixture
+
+            dcfg = _dc.replace(fcfg.data, feature_dim=FEAT)
+            fix = make_charades_fixture(num_videos=V_BANK,
+                                        num_queries=V_BANK,
+                                        feature_dim=FEAT,
+                                        glove_dim=fcfg.data.glove_dim)
+            ds = CharadesSTADataset(fix.annotations, fix.rgb, None,
+                                    fix.vocab, dcfg)
+            fmodel = build_model(fcfg, dataset=ds)
+            P_f = ds.num_proposals
+            banks = {"rgb": jnp.asarray(ds.rgb_feats),
+                     "video_tef": jnp.asarray(ds.video_tef)}
+            fglove = fix.glove
+            extra = {
+                "window_mask": jnp.asarray(
+                    ds.window_mask[np.arange(B_train) % V_BANK]),
+                "tef": jnp.asarray(ds.video_tef[np.arange(B_train) % V_BANK]),
+            }
+            vocab_n = fglove.shape[0]
+        else:
+            fmodel = build_model(fcfg)
+            P_f = 21
+            banks = {
+                s: jnp.asarray(rngf.standard_normal((V_BANK, 6, FEAT)),
+                               jnp.float32)
+                for s in fmodel.streams
+            }
+            fglove = rngf.standard_normal(
+                (VOCAB, fcfg.data.glove_dim)).astype(np.float32)
+            extra = {}
+            vocab_n = VOCAB
+        fparams = init_model_params(jax.random.PRNGKey(2), fmodel, fglove,
+                                    FEAT)
+        fopt = make_optimizer(fcfg.train)
+        fopt_state = fopt.init(fparams)
+        ema0 = jax.tree.map(lambda x: x, fparams)
+        T_f = int(fcfg.data.max_query_len)
+        fbatch = {
+            "tokens": jnp.asarray(
+                rngf.integers(1, vocab_n, size=(B_train, T_f)), jnp.int32),
+            "lengths": jnp.asarray(
+                rngf.integers(4, T_f + 1, size=(B_train,)), jnp.int32),
+            "target": jnp.asarray(
+                rngf.integers(0, P_f, size=(B_train,)), jnp.int32),
+            "video_idx": jnp.asarray(
+                (np.arange(B_train) % V_BANK).astype(np.int32)),
+            "hard_neg_video": jnp.asarray(
+                rngf.integers(0, V_BANK, size=(B_train, HN)), jnp.int32),
+            "hard_neg_prop": jnp.asarray(
+                rngf.integers(0, P_f, size=(B_train, HN)), jnp.int32),
+            **extra,
+        }
+
+        def body(i, tokens):
+            b = dict(fbatch)
+            b["tokens"] = 1 + (tokens + i.astype(jnp.int32)) % (vocab_n - 1)
+            (loss, aux), grads = jax.value_and_grad(
+                lambda p: loss_from_batch(p, fmodel, fcfg.train, b,
+                                          feature_banks=banks),
+                has_aux=True)(fparams)
+            updates, _ = fopt.update(grads, fopt_state, fparams)
+            p2 = _optax.apply_updates(fparams, updates)
+            ema2 = _ema_update(ema0, p2, fcfg.train.ema_decay)
+            return jnp.stack(
+                [jnp.sum(jnp.abs(l)) for l in jax.tree.leaves(ema2)]) + loss
+
+        return device_seconds_per_iter(body, fbatch["tokens"])
+
+    sec_fs_didemo = flagship_step_seconds("didemo_flagship")
+    sec_fs_charades = flagship_step_seconds("charades_flagship")
+
     # serving config: bf16 index (recall-parity-tested vs f32 in
     # tests/test_corpus.py; f32-stored runs the identical program after
     # the loop-invariant carrier conversion — see the note above)
@@ -352,6 +443,18 @@ def main():
         "train_queries_per_sec": round(B_train / sec_train, 1),
         "train_config": "didemo_fusion fwd+bwd+adam, B=64, fused LSTM "
                         "(DESIGN 14b expects ~0.46 ms)",
+        "flagship_train": {
+            "didemo_flagship_step_ms": round(1e3 * sec_fs_didemo, 4),
+            "didemo_flagship_queries_per_sec": round(
+                B_train / sec_fs_didemo, 1),
+            "charades_flagship_step_ms": round(1e3 * sec_fs_charades, 4),
+            "charades_flagship_queries_per_sec": round(
+                B_train / sec_fs_charades, 1),
+            "config": "B=64, InfoNCE + cosine + 8 mined hard negatives + "
+                      "EMA 0.999 — the step the committed quality "
+                      "artifacts pay (DESIGN 16 probe: ~0.525 ms DiDeMo / "
+                      "~0.874 ms Charades P=64)",
+        },
         "timing": "in-program loop, elision-proof (utils/timing.py)",
         "path": "eval/corpus.make_stream_retriever scan body (production throughput serving program)",
     }

@@ -56,9 +56,15 @@ def main():
     ap.add_argument("--out", default=os.path.join(ROOT, "artifacts",
                                                   "quality_large"))
     # sweep knobs (validation runs only — the committed artifact uses the
-    # defaults, i.e. the DESIGN 11b recipe)
-    ap.add_argument("--hard-negative-count", type=int, default=8)
-    ap.add_argument("--epochs", type=int, default=20)
+    # defaults, which are READ FROM the didemo_flagship preset so preset
+    # and artifact can never drift apart; asserted by
+    # tests/test_flagship_preset.py)
+    from vfr_tpu.config import get_preset as _gp
+
+    _fs = _gp("didemo_flagship")
+    ap.add_argument("--hard-negative-count", type=int,
+                    default=_fs.train.hard_negative_count)
+    ap.add_argument("--epochs", type=int, default=_fs.train.num_epochs)
     ap.add_argument("--num-videos", type=int, default=NUM_VIDEOS)
     ap.add_argument("--num-queries", type=int, default=0,
                     help="0 = scale with videos at the default 6.6 q/video")
@@ -70,23 +76,25 @@ def main():
     # metric- AND scale-dependent: sqeuclidean wants 0.05 here, cosine
     # 0.02 with a stall cliff at 0.015 (DESIGN 28).  --loss-type triplet
     # + --distance sqeuclidean reproduces the r2-era margin recipe.
-    ap.add_argument("--loss-type", default="infonce",
+    ap.add_argument("--loss-type", default=_fs.train.loss_type,
                     choices=("triplet", "infonce"))
-    ap.add_argument("--temperature", type=float, default=0.02)
-    ap.add_argument("--lambda-inter", type=float, default=1.0)
+    ap.add_argument("--temperature", type=float,
+                    default=_fs.train.temperature)
+    ap.add_argument("--lambda-inter", type=float,
+                    default=_fs.train.lambda_inter)
     ap.add_argument("--learn-temperature", action="store_true",
                     help="probe: train tau as a parameter (DESIGN 29)")
     ap.add_argument("--temperature-final", type=float, default=0.0,
                     help="probe: cosine-anneal tau to this value "
                          "(0 = constant)")
-    ap.add_argument("--ema-decay", type=float, default=0.999,
+    ap.add_argument("--ema-decay", type=float, default=_fs.train.ema_decay,
                     help="Polyak-average the params; eval/serving use the "
                          "average (committed recipe: 0.999 — +22% corpus "
                          "video R@1 at zero step cost, DESIGN 30; 0 = off)")
     ap.add_argument("--joint-dim", type=int, default=0,
                     help="capacity probe: override ModelConfig.joint_dim "
                          "(0 = preset default; committed artifact uses it)")
-    ap.add_argument("--distance", default="cosine",
+    ap.add_argument("--distance", default=_fs.model.distance,
                     choices=("", "sqeuclidean", "euclidean", "cosine"),
                     help="ModelConfig.distance override; the committed "
                          "artifact trains cosine ('' = preset default)")
@@ -113,7 +121,7 @@ def main():
     _mp = os.path.join(OUT, "metrics.jsonl")
     if os.path.exists(_mp):
         os.remove(_mp)
-    base = get_preset("didemo_fusion")
+    base = get_preset("didemo_flagship")
     if args.joint_dim:
         base = dataclasses.replace(
             base, model=dataclasses.replace(base.model,
@@ -145,8 +153,8 @@ def main():
             temperature_final=args.temperature_final,
             ema_decay=args.ema_decay,
             hard_negative_count=args.hard_negative_count,
-            hard_negative_start_epoch=3,
-            hard_negative_refresh_epochs=1,
+            # start/refresh cadence inherited from the flagship preset
+            # (start_epoch 3, refresh 1)
             # ONE fused dispatch + metrics fetch per 875-step epoch: at
             # 125 steps/call the per-chunk ~0.2 s dispatch+fetch overhead
             # was ~75% of the logged train wall (DESIGN 18)
@@ -241,7 +249,7 @@ def main():
     setup = next((r for r in records if r["tag"] == "setup"), {})
 
     out = {
-        "preset": "didemo_fusion",
+        "preset": "didemo_flagship",
         "bank_dtype": cfg.data.bank_dtype,
         "ema_decay": cfg.train.ema_decay,
         "loss": {"type": cfg.train.loss_type,

@@ -198,9 +198,13 @@ def train(
 
             t_mine = time.perf_counter()
             # device-resident banks: the refresh gathers clip features in
-            # HBM instead of re-uploading ~100 MB/1k-videos per refresh
+            # HBM instead of re-uploading ~100 MB/1k-videos per refresh.
+            # Under a DP mesh the refresh's index scan is ICI-sharded over
+            # the same devices (the "data" axis doubles as the refresh's
+            # corpus axis) — mined pairs are bit-identical either way
             mined = mine_hard_negatives(params, model, ds, hn,
-                                        feature_banks=train_banks)
+                                        feature_banks=train_banks,
+                                        mesh=mesh)
             logger.log("mine", step, {
                 "epoch": epoch, "count": hn,
                 "mined_valid_frac": float((mined[0] >= 0).mean()),
