@@ -94,6 +94,13 @@ def main():
     ap.add_argument("--joint-dim", type=int, default=0,
                     help="capacity probe: override ModelConfig.joint_dim "
                          "(0 = preset default; committed artifact uses it)")
+    ap.add_argument("--batch-size", type=int, default=64,
+                    help="recipe probe: more in-batch InfoNCE negatives "
+                         "per step (committed artifact: 64)")
+    ap.add_argument("--lr-schedule", default="constant",
+                    choices=("constant", "cosine", "step"),
+                    help="recipe probe: optax schedule (committed: constant)")
+    ap.add_argument("--lambda-intra", type=float, default=1.0)
     ap.add_argument("--distance", default=_fs.model.distance,
                     choices=("", "sqeuclidean", "euclidean", "cosine"),
                     help="ModelConfig.distance override; the committed "
@@ -144,7 +151,9 @@ def main():
         train=dataclasses.replace(
             base.train,
             num_epochs=args.epochs,
-            batch_size=64,
+            batch_size=args.batch_size,
+            lr_schedule=args.lr_schedule,
+            lambda_intra=args.lambda_intra,
             lambda_inter=args.lambda_inter,
             inter_negatives="all_spans",
             loss_type=args.loss_type,

@@ -78,6 +78,11 @@ def build_parser() -> argparse.ArgumentParser:
                         "--hard-negative-refresh epochs)")
     t.add_argument("--hard-negative-refresh", type=int, default=None,
                    help="epochs between hard-negative re-mining passes")
+    t.add_argument("--best-metric", default=None,
+                   help="track the best val checkpoint by this eval metric "
+                        "(e.g. R@1_tiou0.5, mIoU): every improving eval "
+                        "rolls <checkpoint-dir>/best.msgpack; open it with "
+                        "eval/corpus/serve/index --best")
     t.add_argument("--eval-every", type=int, default=None,
                    help="epochs between val-metric evals (last epoch always "
                         "evaluates; at spec scale per-epoch eval is ~29%% "
@@ -86,13 +91,21 @@ def build_parser() -> argparse.ArgumentParser:
                    help="optimizer steps fused per dispatched program "
                         "(0 = log_every_steps); one metrics fetch per call")
 
+    def best_flag(sp):
+        sp.add_argument("--best", action="store_true",
+                        help="open <checkpoint-dir>/best.msgpack (tracked "
+                             "by train --best-metric) instead of the "
+                             "latest step checkpoint")
+
     e = sub.add_parser("eval", help="per-video localization eval")
     common(e)
+    best_flag(e)
     e.add_argument("--protocol", default=None,
                    choices=["threshold", "didemo_official"])
 
     c = sub.add_parser("corpus", help="corpus-level retrieval eval")
     common(c)
+    best_flag(c)
     c.add_argument("--shards", type=int, default=None,
                    help="devices to shard the moment index over")
     c.add_argument("--topk", type=int, default=None)
@@ -118,6 +131,7 @@ def build_parser() -> argparse.ArgumentParser:
     s = sub.add_parser("serve", help="answer free-text queries against the "
                        "cached moment index (one JSON line per query)")
     common(s)
+    best_flag(s)
     s.add_argument("--queries", required=True,
                    help="text file with one query per line, or '-' for stdin")
     s.add_argument("--shards", type=int, default=None)
@@ -181,6 +195,7 @@ def build_parser() -> argparse.ArgumentParser:
     ix = sub.add_parser("index", help="build and save the cached "
                         "moment-embedding index for fast serving startup")
     common(ix)
+    best_flag(ix)
     ix.add_argument("--out", required=True, help="output .npz path")
     ix.add_argument("--num-videos", type=int, default=None)
     ix.add_argument("--index-dtype", default=None,
@@ -240,6 +255,8 @@ def apply_overrides(cfg, args):
         tkw["eval_every_epochs"] = args.eval_every
     if getattr(args, "steps_per_call", None) is not None:
         tkw["steps_per_call"] = args.steps_per_call
+    if getattr(args, "best_metric", None) is not None:
+        tkw["best_metric"] = args.best_metric
     if tkw:
         train = dataclasses.replace(train, **tkw)
     ekw = {}
@@ -323,7 +340,7 @@ def main(argv=None) -> int:
         from vfr_tpu.eval.moment_eval import evaluate
         from vfr_tpu.train.loop import load_for_eval
 
-        params, model, bundle = load_for_eval(cfg)
+        params, model, bundle = load_for_eval(cfg, prefer_best=args.best)
         metrics = evaluate(params, model, bundle.val, cfg.eval)
         print({k: round(v, 4) for k, v in metrics.items()})
         return 0
@@ -333,7 +350,7 @@ def main(argv=None) -> int:
         from vfr_tpu.parallel.mesh import make_mesh
         from vfr_tpu.train.loop import load_for_eval
 
-        params, model, bundle = load_for_eval(cfg)
+        params, model, bundle = load_for_eval(cfg, prefer_best=args.best)
         mesh = None
         shards = cfg.eval.corpus_shards
         if shards > 1 and len(jax.devices()) >= shards:
@@ -346,7 +363,7 @@ def main(argv=None) -> int:
         from vfr_tpu.eval.corpus import build_moment_index, save_index
         from vfr_tpu.train.loop import load_for_eval
 
-        params, model, bundle = load_for_eval(cfg)
+        params, model, bundle = load_for_eval(cfg, prefer_best=args.best)
         index = build_moment_index(
             params, model, bundle.val,
             num_videos=cfg.eval.corpus_num_videos,
@@ -371,7 +388,7 @@ def main(argv=None) -> int:
         from vfr_tpu.parallel.mesh import make_mesh
         from vfr_tpu.train.loop import load_for_eval
 
-        params, model, bundle = load_for_eval(cfg)
+        params, model, bundle = load_for_eval(cfg, prefer_best=args.best)
         index = load_index(args.index_path) if args.index_path else None
         coarse = None
         if args.coarse_path:

@@ -160,6 +160,12 @@ class TrainConfig:
     lambda_hard: float = 0.0            # weight; 0.0 = reuse lambda_inter
     target_sampling: str = "mode"       # "mode" (annotator consensus) |
                                         # "sample" (random annotator / step)
+    # Best-checkpoint tracking: name a val metric (e.g. "R@1_tiou0.5",
+    # "mIoU") and every eval that improves it rolls <ckpt_dir>/best.msgpack
+    # (params + EMA + config, same payload as step checkpoints; excluded
+    # from retention GC and from --resume's latest_checkpoint view).
+    # eval/corpus/serve/index open it with --best.  "" = off.
+    best_metric: str = ""
     seed: int = 42
     checkpoint_dir: str = "checkpoints"
     checkpoint_every_epochs: int = 1

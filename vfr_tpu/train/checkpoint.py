@@ -29,7 +29,12 @@ def save_checkpoint(
     config: Optional[ExperimentConfig] = None,
     keep: int = 3,
     ema: Any = None,
+    filename: Optional[str] = None,
 ) -> str:
+    """``filename`` overrides the step-stamped name (used for the rolling
+    ``best.msgpack``, TrainConfig.best_metric); named checkpoints sit
+    outside the retention window and outside ``latest_checkpoint``'s view,
+    so ``--resume`` always continues from the step-stamped latest."""
     os.makedirs(ckpt_dir, exist_ok=True)
     payload = {
         "step": step,
@@ -42,12 +47,13 @@ def save_checkpoint(
         # ONLY when enabled, so ema-off checkpoints keep the original
         # format byte-layout and old checkpoints restore unchanged
         payload["ema"] = ema
-    path = os.path.join(ckpt_dir, f"ckpt_{step:08d}.msgpack")
+    path = os.path.join(ckpt_dir, filename or f"ckpt_{step:08d}.msgpack")
     tmp = path + ".tmp"
     with open(tmp, "wb") as f:
         f.write(serialization.to_bytes(payload))
     os.replace(tmp, path)
-    _gc(ckpt_dir, keep)
+    if filename is None:
+        _gc(ckpt_dir, keep)
     return path
 
 
@@ -60,6 +66,13 @@ def latest_checkpoint(ckpt_dir: str) -> Optional[str]:
         if m and int(m.group(1)) > best_step:
             best, best_step = os.path.join(ckpt_dir, fn), int(m.group(1))
     return best
+
+
+def best_checkpoint(ckpt_dir: str) -> Optional[str]:
+    """The rolling best-val checkpoint written when TrainConfig.best_metric
+    is set; None when the run didn't track one."""
+    path = os.path.join(ckpt_dir, "best.msgpack")
+    return path if os.path.exists(path) else None
 
 
 def peek_config(path: str) -> Optional[ExperimentConfig]:

@@ -8,6 +8,7 @@ TPU never waits on the host (BASELINE.json:5).
 from __future__ import annotations
 
 import math
+import os
 import time
 from typing import Dict, Optional, Tuple
 
@@ -92,6 +93,7 @@ def train(
     ema = (jax.tree.map(lambda x: x.copy(), params)
            if tcfg.ema_decay > 0 else None)
     start_step = 0
+    best_val = float("-inf")   # best-checkpoint tracking (tcfg.best_metric)
     if resume:
         ckpt = latest_checkpoint(tcfg.checkpoint_dir)
         if ckpt:
@@ -103,6 +105,19 @@ def train(
 
                 ema = restore_ema(ckpt, params)
             logger.log("resume", start_step, {"checkpoint": ckpt})
+            if tcfg.best_metric:
+                # don't let a post-resume eval overwrite best.msgpack with
+                # a worse value: recover the best-so-far from the log
+                import json as _json
+
+                _mp = tcfg.metrics_path or (
+                    f"{tcfg.checkpoint_dir}/metrics.jsonl")
+                if os.path.exists(_mp):
+                    for line in open(_mp):
+                        r = _json.loads(line)
+                        if (r.get("tag") == "best"
+                                and r.get("metric") == tcfg.best_metric):
+                            best_val = max(best_val, float(r["value"]))
 
     # One-time feature upload: the whole corpus' clip features live in HBM
     # for the run; per-step batches carry video ids only (train/step.py).
@@ -311,6 +326,21 @@ def train(
                                val_ds, cfg.eval, feature_banks=val_banks)
             logger.log("eval", step, metrics)
             final_metrics = metrics
+            if tcfg.best_metric:
+                if tcfg.best_metric not in metrics:
+                    raise KeyError(
+                        f"best_metric {tcfg.best_metric!r} is not an eval "
+                        f"metric; have {sorted(metrics)}")
+                val = float(metrics[tcfg.best_metric])
+                if val > best_val:
+                    best_val = val
+                    save_checkpoint(tcfg.checkpoint_dir, step, params,
+                                    opt_state, cfg, ema=ema,
+                                    filename="best.msgpack")
+                    logger.log("best", step, {
+                        "metric": tcfg.best_metric, "value": val,
+                        "epoch": epoch,
+                    })
         if (epoch + 1) % tcfg.checkpoint_every_epochs == 0 or epoch == tcfg.num_epochs - 1:
             save_checkpoint(
                 tcfg.checkpoint_dir, step, params, opt_state, cfg,
@@ -324,13 +354,29 @@ def train(
     return (ema if ema is not None else params), final_metrics
 
 
-def load_for_eval(cfg: ExperimentConfig, bundle: Optional[DataBundle] = None):
+def load_for_eval(cfg: ExperimentConfig, bundle: Optional[DataBundle] = None,
+                  prefer_best: bool = False):
     """Restore the latest checkpoint for eval/serving; returns
-    (params, model, bundle)."""
+    (params, model, bundle).  ``prefer_best`` opens the rolling
+    ``best.msgpack`` a ``best_metric`` run tracked (CLI ``--best``) and
+    fails loudly when the run didn't track one — silently serving the
+    last iterate when the user asked for the best would be the same bug
+    class as the silent EMA fallback (ADVICE r3)."""
     if bundle is None:
         bundle = load_datasets(cfg.data)
     model = build_model(cfg, dataset=bundle.train)
-    ckpt = latest_checkpoint(cfg.train.checkpoint_dir)
+    if prefer_best:
+        from vfr_tpu.train.checkpoint import best_checkpoint
+
+        ckpt = best_checkpoint(cfg.train.checkpoint_dir)
+        if ckpt is None:
+            raise FileNotFoundError(
+                f"--best requested but {cfg.train.checkpoint_dir}/"
+                "best.msgpack does not exist; train with "
+                "--best-metric <eval metric> to track one"
+            )
+    else:
+        ckpt = latest_checkpoint(cfg.train.checkpoint_dir)
     # the params TEMPLATE must structurally match what training saved
     # (flax restore-into-template); the checkpoint's own train config is
     # authoritative for training-owned params like log_tau, so eval/serve
