@@ -69,6 +69,9 @@ def main():
                     help="Polyak-average the params; eval/serving use the "
                          "average (flagship recipe default, DESIGN 30; "
                          "0 = off)")
+    ap.add_argument("--batch-size", type=int, default=64,
+                    help="recipe probe: more in-batch InfoNCE negatives "
+                         "(committed artifact: 64)")
     ap.add_argument("--distance", default="cosine",
                     choices=("", "sqeuclidean", "euclidean", "cosine"),
                     help="ModelConfig.distance override; the committed "
@@ -117,7 +120,7 @@ def main():
         train=dataclasses.replace(
             base.train,
             num_epochs=NUM_EPOCHS,
-            batch_size=64,
+            batch_size=args.batch_size,
             # the corpus-aware recipe both committed quality artifacts
             # validated (docs/DESIGN.md entry 11/16)
             loss_type=args.loss_type,
@@ -125,7 +128,9 @@ def main():
             ema_decay=args.ema_decay,
             lambda_inter=args.lambda_inter,
             inter_negatives="all_spans",
-            steps_per_call=109,            # ~2 fetches/epoch at 218 steps
+            # ~2 fetches/epoch regardless of batch size
+            steps_per_call=max(1, (NUM_QUERIES - NUM_VIDEOS)
+                               // args.batch_size // 2),
             checkpoint_every_epochs=10,
             keep_checkpoints=1,
             checkpoint_dir=os.path.join(out_dir, "ck"),
@@ -223,6 +228,7 @@ def main():
             "seed": cfg.data.synthetic_seed,
         },
         "epochs": cfg.train.num_epochs,
+        "batch_size": cfg.train.batch_size,
         "window_bank": {
             "scales": list(cfg.data.window_scales),
             "stride_ratio": cfg.data.window_stride_ratio,

@@ -94,9 +94,12 @@ def main():
     ap.add_argument("--joint-dim", type=int, default=0,
                     help="capacity probe: override ModelConfig.joint_dim "
                          "(0 = preset default; committed artifact uses it)")
-    ap.add_argument("--batch-size", type=int, default=64,
-                    help="recipe probe: more in-batch InfoNCE negatives "
-                         "per step (committed artifact: 64)")
+    ap.add_argument("--batch-size", type=int,
+                    default=_fs.train.batch_size,
+                    help="in-batch InfoNCE negative population per step "
+                         "(committed artifact: the flagship preset's 128 "
+                         "— the axis that moved recall +47%% alone, "
+                         "DESIGN 33)")
     ap.add_argument("--lr-schedule", default="constant",
                     choices=("constant", "cosine", "step"),
                     help="recipe probe: optax schedule (committed: constant)")
@@ -278,6 +281,7 @@ def main():
             "seed": cfg.data.synthetic_seed,
         },
         "epochs": cfg.train.num_epochs,
+        "batch_size": cfg.train.batch_size,
         "mining": {
             "count": cfg.train.hard_negative_count,
             "refresh_epochs": cfg.train.hard_negative_refresh_epochs,

@@ -14,7 +14,7 @@ from vfr_tpu.utils.io import atomic_savez
 
 
 def test_atomic_savez_roundtrip(tmp_path):
-    p = atomic_savez(str(tmp_path / "x"), a=np.arange(5))
+    p = atomic_savez(str(tmp_path / "x"), {"a": np.arange(5)})
     assert p.endswith(".npz") and os.path.exists(p)
     with np.load(p) as z:
         np.testing.assert_array_equal(z["a"], np.arange(5))
@@ -23,7 +23,7 @@ def test_atomic_savez_roundtrip(tmp_path):
 
 def test_atomic_savez_interrupted_keeps_previous(tmp_path, monkeypatch):
     path = str(tmp_path / "snap.npz")
-    atomic_savez(path, a=np.array([1, 2, 3]))
+    atomic_savez(path, {"a": np.array([1, 2, 3])})
 
     calls = {"n": 0}
     real_savez = np.savez
@@ -35,7 +35,7 @@ def test_atomic_savez_interrupted_keeps_previous(tmp_path, monkeypatch):
 
     monkeypatch.setattr(np, "savez", dying_savez)
     with pytest.raises(MemoryError):
-        atomic_savez(path, a=np.array([9, 9, 9]))
+        atomic_savez(path, {"a": np.array([9, 9, 9])})
     monkeypatch.setattr(np, "savez", real_savez)
 
     # previous snapshot intact, no stray temp

@@ -87,6 +87,29 @@ def test_best_survives_retention_gc_and_resume_uses_latest(tmp_path):
     _ = mtime0  # (mtime may legitimately change if resume IMPROVES best)
 
 
+def test_resume_tolerates_torn_metrics_line(tmp_path):
+    """A crashed run can leave a PARTIAL trailing record in metrics.jsonl —
+    exactly the state --resume exists for, so the best-so-far recovery
+    must skip it, not crash (r4 review finding #1).  The intact 'best'
+    record before the torn line must still seed best_val."""
+    from vfr_tpu.train.loop import train
+
+    cfg = _cfg(tmp_path, best_metric="R@1_tiou0.5", num_epochs=2)
+    train(cfg)
+    mpath = os.path.join(cfg.train.checkpoint_dir, "metrics.jsonl")
+    recs = [json.loads(l) for l in open(mpath)]
+    best0 = max(r["value"] for r in recs if r["tag"] == "best")
+    with open(mpath, "a") as f:
+        f.write('{"tag": "train", "step": 9, "loss": 0.1')   # torn write
+
+    cfg2 = dc.replace(cfg, train=dc.replace(cfg.train, num_epochs=3))
+    train(cfg2, resume=True)   # must not raise
+    recs = [json.loads(l) for l in open(mpath)
+            if not l.rstrip().endswith("0.1")]
+    worse = [r for r in recs if r["tag"] == "best" and r["value"] < best0]
+    assert not worse, worse
+
+
 def test_unknown_best_metric_fails_loudly(tmp_path):
     from vfr_tpu.train.loop import train
 

@@ -37,6 +37,7 @@ def test_didemo_flagship_matches_committed_artifact():
     assert cfg.train.hard_negative_refresh_epochs == (
         art["mining"]["refresh_epochs"])
     assert cfg.train.num_epochs == art["epochs"]
+    assert cfg.train.batch_size == art["batch_size"]
     assert cfg.model.distance == art["model"]["distance"]
     assert cfg.model.joint_dim == art["model"]["joint_dim"]
     assert cfg.train.inter_negatives == "all_spans"
@@ -52,6 +53,8 @@ def test_charades_flagship_matches_committed_artifact():
     assert cfg.train.hard_negative_refresh_epochs == (
         art["mining"]["refresh_epochs"])
     assert cfg.train.num_epochs == art["epochs"]
+    assert cfg.train.batch_size == art["batch_size"]
+    assert cfg.train.ema_decay == art["ema_decay"]
     assert cfg.model.distance == art["model"]["distance"]
     assert cfg.model.joint_dim == art["model"]["joint_dim"]
     assert cfg.data.dataset == "charades_sta"

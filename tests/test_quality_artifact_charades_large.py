@@ -35,7 +35,7 @@ def _load():
 
 def test_artifact_is_at_spec_scale():
     out = _load()
-    assert out["preset"] == "charades_sta"
+    assert out["preset"] == "charades_flagship"
     assert out["fixture"]["num_videos"] >= 2_000
     assert out["corpus"]["corpus_num_rows"] >= 100_000
     assert out["corpus"]["num_queries"] >= 2_000

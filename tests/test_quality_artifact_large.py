@@ -1,17 +1,16 @@
 """Regression gate on the SPEC-SCALE quality artifact (VERDICT r2 #1).
 
-scripts/quality_run_large.py trains the flagship didemo_fusion recipe
-(InfoNCE over cosine distance, tau 0.02 / lambda_inter 1.0 + mining
-count 8 / refresh every epoch + Polyak-averaged serving weights
-ema_decay 0.999 — docs/DESIGN.md 11b/27/28/30) on a 10,000-video
-fixture and evaluates corpus retrieval against the full 210,000-row
-moment index — the corpus scale BASELINE.json:10-11 names, not the
-256-video fixture the small artifact uses.  Committed artifact
-(2026-08-19, cosine-infonce + EMA recipe): corpus video R@1 0.139 =
-1,390x the 1e-4 chance floor (no-EMA cosine-infonce: 0.114; r2-era
-triplet recipe: 0.0312), video R@5 0.247, localization R@1@0.5 0.886 /
-mIoU 0.834, steady mining refresh median ~2.0 s/epoch over 56k
-training queries.
+scripts/quality_run_large.py trains the didemo_flagship preset recipe
+(InfoNCE over cosine distance, batch 128 / tau 0.03 — the in-batch
+negative population is the lever, DESIGN 33 — + mining count 8 /
+refresh every epoch + Polyak-averaged serving weights ema_decay 0.999,
+docs/DESIGN.md 11b/27/28/30/33) on a 10,000-video fixture and evaluates
+corpus retrieval against the full 210,000-row moment index — the corpus
+scale BASELINE.json:10-11 names, not the 256-video fixture the small
+artifact uses.  Committed artifact (2026-08-19, b128/tau.03 recipe):
+corpus video R@1 ~0.258 = 2,580x the 1e-4 chance floor (r3 B=64 recipe:
+0.139; no-EMA cosine-infonce: 0.114; r2-era triplet: 0.0312), video
+R@5 ~0.40, localization R@1@0.5 ~0.94 / mIoU ~0.90.
 
 Thresholds sit at roughly half the committed numbers (and >=100x chance
 for the corpus metrics) so rerun jitter passes while a mining/loss/
@@ -36,7 +35,7 @@ def _load():
 
 def test_artifact_is_at_spec_scale():
     out = _load()
-    assert out["preset"] == "didemo_fusion"
+    assert out["preset"] == "didemo_flagship"
     assert out["fixture"]["num_videos"] >= 10_000
     assert out["corpus"]["corpus_num_rows"] >= 200_000
     assert out["corpus"]["num_queries"] >= 10_000
@@ -47,10 +46,10 @@ def test_corpus_retrieval_far_above_chance_at_scale():
     out = _load()
     m = out["corpus"]
     chance_v1 = out["chance_video_R@1"]               # 1e-4 at 10k videos
-    assert m["corpus_video_R@1"] >= max(100 * chance_v1, 0.08), (
+    assert m["corpus_video_R@1"] >= max(100 * chance_v1, 0.15), (
         m, chance_v1)
-    assert m["corpus_video_R@5"] >= 0.14, m
-    assert m["corpus_R@1_tiou0.5"] >= 0.075, m
+    assert m["corpus_video_R@5"] >= 0.24, m
+    assert m["corpus_R@1_tiou0.5"] >= 0.14, m
     # internal consistency
     assert m["corpus_video_R@5"] >= m["corpus_video_R@1"]
     assert m["corpus_R@5_tiou0.5"] <= m["corpus_video_R@5"]
@@ -58,8 +57,8 @@ def test_corpus_retrieval_far_above_chance_at_scale():
 
 def test_localization_in_healthy_band_at_scale():
     m = _load()["eval_threshold"]
-    assert m["R@1_tiou0.5"] >= 0.65, m                # committed 0.886
-    assert m["R@5_tiou0.5"] >= 0.80, m                # committed 0.984
+    assert m["R@1_tiou0.5"] >= 0.70, m                # committed ~0.94
+    assert m["R@5_tiou0.5"] >= 0.82, m                # committed ~0.99
     assert m["R@5_tiou0.5"] >= m["R@1_tiou0.5"]
     assert 0.45 <= m["mIoU"] <= 1.0, m
 

@@ -342,18 +342,24 @@ _register(ExperimentConfig(
 
 # 6-7. The FLAGSHIP quality recipe as a named preset (VERDICT r3 missing
 # #2): the measured-best training configuration this repo proved at spec
-# scale — InfoNCE over COSINE distance at tau 0.02 with index-mined hard
-# negatives (count 8, refresh 1) and Polyak averaging 0.999.  Earned the
-# hard way: corpus video R@1 0.0312 (triplet default) -> 0.139 at 10k
-# videos / 210k rows (docs/DESIGN.md 26-30; committed artifact
-# artifacts/quality_large/final_metrics.json, regression-gated).  A user
-# should get the repo's best recipe with ONE flag, not six.
+# scale — InfoNCE over COSINE distance, batch 128 (the in-batch negative
+# population is the lever that moved, DESIGN 33), tau 0.03 (the band
+# re-tempered for the 2x population), index-mined hard negatives
+# (count 8, refresh 1), Polyak averaging 0.999.  Earned the hard way:
+# corpus video R@1 0.0312 (triplet default) -> 0.139 (r3 recipe) ->
+# 0.258 at 10k videos / 210k rows (docs/DESIGN.md 26-33; committed
+# artifact artifacts/quality_large/final_metrics.json, regression-
+# gated).  A user should get the repo's best recipe with ONE flag.
 def _flagship_train(**kw) -> TrainConfig:
+    kw.setdefault("batch_size", 128)   # 2x in-batch InfoNCE negatives:
+                                       # +47% alone; knee — 256 loses,
+                                       # 512 stalls (DESIGN 33)
+    kw.setdefault("temperature", 0.03)  # band peak at B=128 (.02 at
+                                        # B=64); cliff below ~.016,
+                                        # decay past ~.035
     return TrainConfig(
         num_epochs=20,
-        batch_size=64,
         loss_type="infonce",
-        temperature=0.02,          # cosine band; stall cliff at <= 0.015
         lambda_inter=1.0,
         inter_negatives="all_spans",
         ema_decay=0.999,           # +22% corpus video R@1 at zero step cost
@@ -385,7 +391,12 @@ _register(ExperimentConfig(
     ),
     model=ModelConfig(stream_weights=(1.0,), use_tef=True,
                       distance="cosine"),
-    train=_flagship_train(margin=0.2),
+    # the batch/tau operating point is DATASET-specific: Charades' 14k
+    # training queries give only ~109 steps/epoch at B=128 and its 2k-video
+    # corpus is near-saturated — measured (DESIGN 33): B=128/tau.03 0.8715,
+    # B=128/tau.02 worse than committed too; B=64/tau.02 stays the peak
+    # (corpus video R@1 0.9235)
+    train=_flagship_train(margin=0.2, batch_size=64, temperature=0.02),
     eval=EvalConfig(tiou_thresholds=(0.5, 0.7), eval_batch_size=512,
                     corpus_query_batch=256),
 ))

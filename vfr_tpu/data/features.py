@@ -50,7 +50,7 @@ class FeatureStore:
         from vfr_tpu.utils.io import atomic_savez
 
         os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
-        atomic_savez(path, compressed=True, **self._table)
+        atomic_savez(path, dict(self._table), compressed=True)
 
     @classmethod
     def load(cls, path: str):

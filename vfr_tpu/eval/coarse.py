@@ -317,15 +317,15 @@ def save_coarse(coarse: CoarseIndex, path: str) -> str:
         m_store, m_dtype = m_low.astype(np.float32), "float32"
     from vfr_tpu.utils.io import atomic_savez
 
-    return atomic_savez(
-        path, proj=np.asarray(coarse.proj, np.float32),
+    return atomic_savez(path, dict(
+        proj=np.asarray(coarse.proj, np.float32),
         m_low=m_store, m_dtype=np.asarray(m_dtype),
         msq_low=np.asarray(coarse.msq_low, np.float32),
         c_low=np.asarray(coarse.c_low, np.float32),
         csq=np.asarray(coarse.csq, np.float32),
         perm=np.asarray(coarse.perm, np.int32),
         n_rows=np.asarray(coarse.n_rows),
-        block_rows=np.asarray(coarse.block_rows))
+        block_rows=np.asarray(coarse.block_rows)))
 
 
 def load_coarse(path: str, index: MomentIndex) -> CoarseIndex:

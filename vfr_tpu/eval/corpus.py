@@ -328,8 +328,7 @@ def save_index(index: MomentIndex, path: str) -> str:
         extra["fingerprint"] = np.asarray(json.dumps(index.fingerprint))
     from vfr_tpu.utils.io import atomic_savez
 
-    return atomic_savez(
-        path,
+    return atomic_savez(path, dict(
         m=m_store,
         m_dtype=np.asarray(m_dtype),
         m_sq=np.asarray(index.m_sq, np.float32),
@@ -338,7 +337,7 @@ def save_index(index: MomentIndex, path: str) -> str:
         spans_sec=index.spans_sec,
         weights=np.asarray(index.weights, np.float32),
         **extra,
-    )
+    ))
 
 
 def load_index(path: str) -> MomentIndex:

@@ -530,8 +530,8 @@ def save_arena(live: LiveIndex, path: str, params=None, model=None) -> str:
         extra["fingerprint"] = np.asarray(json.dumps(fp))
     from vfr_tpu.utils.io import atomic_savez
 
-    return atomic_savez(
-        path, m_cat=m_store, m_dtype=np.asarray(m_dtype),
+    return atomic_savez(path, dict(
+        m_cat=m_store, m_dtype=np.asarray(m_dtype),
         msq_fused=np.asarray(live.msq_fused, np.float32),
         video_row=live.video_row, prop_idx=live.prop_idx,
         spans_sec=live.spans_sec,
@@ -540,7 +540,7 @@ def save_arena(live: LiveIndex, path: str, params=None, model=None) -> str:
         used_rows=np.asarray(live.used_rows),
         rows_per_video=np.asarray(live.rows_per_video),
         index_dtype=np.asarray(live.index_dtype),
-        **extra)
+        **extra))
 
 
 def load_arena(path: str, params=None, model=None,

@@ -49,9 +49,18 @@ def save_checkpoint(
         payload["ema"] = ema
     path = os.path.join(ckpt_dir, filename or f"ckpt_{step:08d}.msgpack")
     tmp = path + ".tmp"
-    with open(tmp, "wb") as f:
-        f.write(serialization.to_bytes(payload))
-    os.replace(tmp, path)
+    try:
+        with open(tmp, "wb") as f:
+            f.write(serialization.to_bytes(payload))
+        os.replace(tmp, path)
+    except BaseException:
+        # same contract as utils/io.atomic_savez: a failed write never
+        # leaves a stray/partial temp next to the good checkpoint
+        try:
+            os.remove(tmp)
+        except OSError:
+            pass
+        raise
     if filename is None:
         _gc(ckpt_dir, keep)
     return path
@@ -75,20 +84,36 @@ def best_checkpoint(ckpt_dir: str) -> Optional[str]:
     return path if os.path.exists(path) else None
 
 
-def peek_config(path: str) -> Optional[ExperimentConfig]:
-    """Read ONLY the config stored in a checkpoint, without a params
-    template (``serialization.msgpack_restore`` needs no target).  Lets
-    eval/serve build the structurally-correct template for checkpoints
-    whose param tree depends on train config (e.g. the learnable
-    log-temperature, train/loop.py::init_train_params) even when the
-    caller's CLI flags don't mention it."""
+def load_payload(path: str) -> dict:
+    """ONE msgpack parse of a checkpoint file.  Every restore helper below
+    accepts the parsed payload, so callers that need several trees from
+    the same file (resume restores params + opt_state + config + ema;
+    eval restores config + ema) parse it exactly once — at spec-scale
+    checkpoints a second full parse doubles restore time and peak host
+    memory (ADVICE r3; the r4 review found resume/eval still paying it
+    through separate restore_ema/peek_config file reads)."""
     with open(path, "rb") as f:
-        raw = serialization.msgpack_restore(f.read())
-    cj = raw.get("config_json", "")
+        return serialization.msgpack_restore(f.read())
+
+
+def _config_of(payload: dict) -> Optional[ExperimentConfig]:
+    cj = payload.get("config_json", "")
     return ExperimentConfig.from_json(cj) if cj else None
 
 
-def restore_ema(path: str, params_template: Any) -> Any:
+def peek_config(path: str) -> Optional[ExperimentConfig]:
+    """Read the config stored in a checkpoint (no params template needed).
+    Lets eval/serve build the structurally-correct template for
+    checkpoints whose param tree depends on train config (e.g. the
+    learnable log-temperature, train/loop.py::init_train_params) even
+    when the caller's CLI flags don't mention it.  Callers that will
+    also restore trees should use ``load_payload`` once and pass the
+    payload through instead of calling this (it parses the whole file)."""
+    return _config_of(load_payload(path))
+
+
+def restore_ema(path: str, params_template: Any,
+                payload: Optional[dict] = None) -> Any:
     """Restore the Polyak-averaged params stored by an ``ema_decay > 0``
     run.  Falls back to the RAW params when the checkpoint predates EMA (or
     was trained with it off) — resuming such a run re-seeds the average
@@ -98,9 +123,9 @@ def restore_ema(path: str, params_template: Any) -> Any:
     this (train/loop.py::load_for_eval), and a checkpoint whose config
     says ema_decay > 0 but lacks the tree (mixed-version or truncated
     file) would otherwise serve raw weights while claiming the average
-    (ADVICE r3)."""
-    with open(path, "rb") as f:
-        raw = serialization.msgpack_restore(f.read())
+    (ADVICE r3).  Pass ``payload`` (from ``load_payload``) to reuse an
+    already-parsed file."""
+    raw = load_payload(path) if payload is None else payload
     if "ema" not in raw:
         import warnings
 
@@ -115,25 +140,22 @@ def restore_ema(path: str, params_template: Any) -> Any:
 
 
 def restore_checkpoint(
-    path: str, params_template: Any, opt_state_template: Any = None
+    path: str, params_template: Any, opt_state_template: Any = None,
+    payload: Optional[dict] = None,
 ) -> Tuple[int, Any, Any, Optional[ExperimentConfig]]:
     """Restore into the given pytree templates (shapes/dtypes from init).
 
-    ONE msgpack parse: the payload is deserialized once and each tree is
-    restored into its template via ``from_state_dict`` — a second
-    ``from_bytes`` pass would re-parse the whole file, doubling restore
-    time and peak host memory at spec-scale checkpoints (ADVICE r3)."""
-    with open(path, "rb") as f:
-        stored = serialization.msgpack_restore(f.read())
+    ONE msgpack parse (reusable via ``payload``): the file is deserialized
+    once and each tree is restored into its template via
+    ``from_state_dict``."""
+    stored = load_payload(path) if payload is None else payload
     params = serialization.from_state_dict(params_template, stored["params"])
     opt_state = (
         serialization.from_state_dict(opt_state_template, stored["opt_state"])
         if opt_state_template is not None
         else stored["opt_state"]
     )
-    cj = stored.get("config_json", "")
-    cfg = ExperimentConfig.from_json(cj) if cj else None
-    return int(stored["step"]), params, opt_state, cfg
+    return int(stored["step"]), params, opt_state, _config_of(stored)
 
 
 def _gc(ckpt_dir: str, keep: int) -> None:

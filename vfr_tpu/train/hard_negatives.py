@@ -90,22 +90,28 @@ def mine_hard_negatives(
     if mesh is None:
         retrieve_stream = make_stream_retriever(
             model, index, k0, topk_method="exact", rnn_kernel=rnn_kernel)
-        _, rows_all = retrieve_stream(params, jnp.asarray(toks),
-                                      jnp.asarray(lens))
+        dists_all, rows_all = retrieve_stream(params, jnp.asarray(toks),
+                                              jnp.asarray(lens))
     else:
         axis = axis or mesh.axis_names[0]
         m_cat, msq_fused = shard_index_operands(index, mesh, axis=axis)
         retrieve_sharded = make_sharded_stream_retriever(
             model, index.weights, k0, mesh, axis=axis,
             topk_method="exact", rnn_kernel=rnn_kernel)
-        _, rows_all = retrieve_sharded(m_cat, msq_fused, params,
-                                       jnp.asarray(toks), jnp.asarray(lens))
+        dists_all, rows_all = retrieve_sharded(
+            m_cat, msq_fused, params, jnp.asarray(toks), jnp.asarray(lens))
     rows_all = np.asarray(rows_all)                      # [M, B, k0]
-    # sharding pads index rows to the mesh axis; pad rows carry
-    # m_sq=+1e30 so they only surface when the corpus has fewer than k0
-    # real rows — treat them (and Charades invalid-window rows, same
-    # sentinel) as non-mineable instead of indexing out of bounds
-    in_range = rows_all < index.num_rows
+    dists_all = np.asarray(dists_all)                    # [M, B, k0]
+    # Sentinel rows can surface when the corpus has fewer than k0
+    # RETRIEVABLE rows: mesh padding (row id >= num_rows) AND Charades
+    # invalid windows (real in-range rows) both carry m_sq=+1e30, which
+    # dominates any real fused distance — mask BOTH as non-mineable by
+    # distance, not just the out-of-range ids (a mined pair pointing at
+    # an invalid window would gather a garbage-window embedding into the
+    # loss).  Threshold 1e20: far above any real fused distance (O(1e5)
+    # at worst for unnormalized d=128 embeddings), far below the
+    # sentinel's contribution under any stream weighting in use.
+    in_range = (rows_all < index.num_rows) & (dists_all < 1e20)
     rows_all = np.minimum(rows_all, index.num_rows - 1)
 
     videos = np.full((dataset.num_queries, count), -1, np.int32)

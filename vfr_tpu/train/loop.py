@@ -66,6 +66,15 @@ def train(
     skip re-shipping ~2 GB of features at spec scale (DESIGN 18).
     """
     tcfg = cfg.train
+    if tcfg.best_metric and (
+            tcfg.best_metric not in expected_eval_metrics(cfg.eval)):
+        # fail BEFORE training: a typo'd metric surfacing at the first
+        # eval can be hours into a spec-scale run (eval_every_epochs is
+        # raised there precisely because eval is expensive)
+        raise KeyError(
+            f"best_metric {tcfg.best_metric!r} is not a metric this "
+            f"EvalConfig produces; have "
+            f"{sorted(expected_eval_metrics(cfg.eval))}")
     if bundle is None:
         bundle = load_datasets(cfg.data)
     ds, val_ds = bundle.train, bundle.val
@@ -97,27 +106,39 @@ def train(
     if resume:
         ckpt = latest_checkpoint(tcfg.checkpoint_dir)
         if ckpt:
+            from vfr_tpu.train.checkpoint import load_payload, restore_ema
+
+            # ONE msgpack parse of the checkpoint: params + opt_state +
+            # ema all restore from the same payload (a per-tree file
+            # re-read doubles restore time/memory at spec scale)
+            payload = load_payload(ckpt)
             start_step, params, opt_state, _ = restore_checkpoint(
-                ckpt, params, opt_state
+                ckpt, params, opt_state, payload=payload
             )
             if ema is not None:
-                from vfr_tpu.train.checkpoint import restore_ema
-
-                ema = restore_ema(ckpt, params)
+                ema = restore_ema(ckpt, params, payload=payload)
+            del payload
             logger.log("resume", start_step, {"checkpoint": ckpt})
             if tcfg.best_metric:
                 # don't let a post-resume eval overwrite best.msgpack with
-                # a worse value: recover the best-so-far from the log
-                import json as _json
+                # a worse value: recover the best-so-far from the log the
+                # run actually writes (the logger's own path — an injected
+                # logger may not live at <ckpt_dir>/metrics.jsonl)
+                best_val = max(best_val, _best_from_log(
+                    getattr(logger, "path", None)
+                    or tcfg.metrics_path
+                    or f"{tcfg.checkpoint_dir}/metrics.jsonl",
+                    tcfg.best_metric))
+                if best_val == float("-inf"):
+                    import warnings
 
-                _mp = tcfg.metrics_path or (
-                    f"{tcfg.checkpoint_dir}/metrics.jsonl")
-                if os.path.exists(_mp):
-                    for line in open(_mp):
-                        r = _json.loads(line)
-                        if (r.get("tag") == "best"
-                                and r.get("metric") == tcfg.best_metric):
-                            best_val = max(best_val, float(r["value"]))
+                    warnings.warn(
+                        "resuming a best_metric run but no previous 'best' "
+                        "record was found in the metrics log; the first "
+                        "post-resume eval will (re)write best.msgpack even "
+                        "if it is worse than the historical best",
+                        stacklevel=2,
+                    )
 
     # One-time feature upload: the whole corpus' clip features live in HBM
     # for the run; per-step batches carry video ids only (train/step.py).
@@ -354,6 +375,40 @@ def train(
     return (ema if ema is not None else params), final_metrics
 
 
+def _best_from_log(path: str, metric: str) -> float:
+    """Best-so-far value of ``metric`` from a metrics JSONL, tolerating a
+    torn trailing line (a crashed run's partial write is exactly the state
+    --resume exists for — it must not make resume itself crash)."""
+    import json as _json
+
+    best = float("-inf")
+    if not os.path.exists(path):
+        return best
+    with open(path, encoding="utf-8") as f:
+        for line in f:
+            try:
+                r = _json.loads(line)
+            except ValueError:
+                continue     # torn/partial record from an interrupted run
+            if r.get("tag") == "best" and r.get("metric") == metric:
+                best = max(best, float(r["value"]))
+    return best
+
+
+def expected_eval_metrics(ecfg) -> set:
+    """The metric names evaluate() emits for this EvalConfig — used to
+    validate TrainConfig.best_metric BEFORE training starts (a typo'd
+    name failing at the first eval can be hours into a spec-scale run)."""
+    names = {"mIoU", "num_queries"}
+    for k in ecfg.recall_ks:
+        for t in ecfg.tiou_thresholds:
+            names.add(f"R@{k}_tiou{t}")   # same f-string as moment_eval.py
+    if ecfg.protocol == "didemo_official":
+        names |= {f"R@{k}_official" for k in ecfg.recall_ks}
+        names.add("mIoU_official")
+    return names
+
+
 def load_for_eval(cfg: ExperimentConfig, bundle: Optional[DataBundle] = None,
                   prefer_best: bool = False):
     """Restore the latest checkpoint for eval/serving; returns
@@ -380,12 +435,16 @@ def load_for_eval(cfg: ExperimentConfig, bundle: Optional[DataBundle] = None,
     # the params TEMPLATE must structurally match what training saved
     # (flax restore-into-template); the checkpoint's own train config is
     # authoritative for training-owned params like log_tau, so eval/serve
-    # need no extra CLI flags to open a learnable-temperature checkpoint
+    # need no extra CLI flags to open a learnable-temperature checkpoint.
+    # ONE msgpack parse: the payload serves config-peek AND tree restore
+    # (a peek_config + restore pair re-parses the whole file).
     tcfg_tmpl = cfg.train
+    payload = None
     if ckpt:
-        from vfr_tpu.train.checkpoint import peek_config
+        from vfr_tpu.train.checkpoint import load_payload, _config_of
 
-        cfg_ckpt = peek_config(ckpt)
+        payload = load_payload(ckpt)
+        cfg_ckpt = _config_of(payload)
         if cfg_ckpt is not None:
             tcfg_tmpl = cfg_ckpt.train
     params = init_train_params(
@@ -397,9 +456,10 @@ def load_for_eval(cfg: ExperimentConfig, bundle: Optional[DataBundle] = None,
             # ema_decay run: the Polyak average IS the serving weights
             from vfr_tpu.train.checkpoint import restore_ema
 
-            params = restore_ema(ckpt, params)
+            params = restore_ema(ckpt, params, payload=payload)
         else:
-            _, params, _, _ = restore_checkpoint(ckpt, params, None)
+            _, params, _, _ = restore_checkpoint(ckpt, params, None,
+                                                 payload=payload)
     return params, model, bundle
 
 def _stack_chunk(batches):

@@ -14,8 +14,11 @@ import os
 import numpy as np
 
 
-def atomic_savez(path: str, compressed: bool = False, **arrays) -> str:
-    """``np.savez`` to ``path`` atomically; returns the path written.
+def atomic_savez(path: str, arrays: dict, compressed: bool = False) -> str:
+    """``np.savez`` of ``arrays`` (an explicit dict, NOT **kwargs: a
+    caller-controlled table could contain a key named "compressed" or
+    "path" and silently bind the option instead of saving the array) to
+    ``path`` atomically; returns the path written.
 
     Appends ``.npz`` when missing (matching np.savez's own behavior so
     callers keep their returned-path contract).  The temp file lives in

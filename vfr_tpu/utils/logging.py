@@ -21,7 +21,17 @@ class MetricsLogger:
         self._fh = None
         if path:
             os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+            # a crashed run can leave a torn (newline-less) trailing
+            # record; appending straight onto it would corrupt BOTH
+            # records for every JSONL consumer — start a fresh line
+            needs_nl = False
+            if os.path.exists(path) and os.path.getsize(path) > 0:
+                with open(path, "rb") as f:
+                    f.seek(-1, os.SEEK_END)
+                    needs_nl = f.read(1) != b"\n"
             self._fh = open(path, "a", encoding="utf-8")
+            if needs_nl:
+                self._fh.write("\n")
 
     def log(self, tag: str, step: int, metrics: Dict[str, float]) -> None:
         rec = {
