@@ -259,6 +259,8 @@ def main():
 
     def flagship_step_seconds(preset):
         fcfg = get_preset(preset)
+        B_f = int(fcfg.train.batch_size)   # per-preset: didemo 128 (the
+                                           # DESIGN 33 recipe), charades 64
         rngf = np.random.default_rng(11)
         if fcfg.data.dataset == "charades_sta":
             from vfr_tpu.data.charades import CharadesSTADataset
@@ -278,8 +280,8 @@ def main():
             fglove = fix.glove
             extra = {
                 "window_mask": jnp.asarray(
-                    ds.window_mask[np.arange(B_train) % V_BANK]),
-                "tef": jnp.asarray(ds.video_tef[np.arange(B_train) % V_BANK]),
+                    ds.window_mask[np.arange(B_f) % V_BANK]),
+                "tef": jnp.asarray(ds.video_tef[np.arange(B_f) % V_BANK]),
             }
             vocab_n = fglove.shape[0]
         else:
@@ -302,17 +304,17 @@ def main():
         T_f = int(fcfg.data.max_query_len)
         fbatch = {
             "tokens": jnp.asarray(
-                rngf.integers(1, vocab_n, size=(B_train, T_f)), jnp.int32),
+                rngf.integers(1, vocab_n, size=(B_f, T_f)), jnp.int32),
             "lengths": jnp.asarray(
-                rngf.integers(4, T_f + 1, size=(B_train,)), jnp.int32),
+                rngf.integers(4, T_f + 1, size=(B_f,)), jnp.int32),
             "target": jnp.asarray(
-                rngf.integers(0, P_f, size=(B_train,)), jnp.int32),
+                rngf.integers(0, P_f, size=(B_f,)), jnp.int32),
             "video_idx": jnp.asarray(
-                (np.arange(B_train) % V_BANK).astype(np.int32)),
+                (np.arange(B_f) % V_BANK).astype(np.int32)),
             "hard_neg_video": jnp.asarray(
-                rngf.integers(0, V_BANK, size=(B_train, HN)), jnp.int32),
+                rngf.integers(0, V_BANK, size=(B_f, HN)), jnp.int32),
             "hard_neg_prop": jnp.asarray(
-                rngf.integers(0, P_f, size=(B_train, HN)), jnp.int32),
+                rngf.integers(0, P_f, size=(B_f, HN)), jnp.int32),
             **extra,
         }
 
@@ -446,14 +448,16 @@ def main():
         "flagship_train": {
             "didemo_flagship_step_ms": round(1e3 * sec_fs_didemo, 4),
             "didemo_flagship_queries_per_sec": round(
-                B_train / sec_fs_didemo, 1),
+                get_preset("didemo_flagship").train.batch_size
+                / sec_fs_didemo, 1),
             "charades_flagship_step_ms": round(1e3 * sec_fs_charades, 4),
             "charades_flagship_queries_per_sec": round(
-                B_train / sec_fs_charades, 1),
-            "config": "B=64, InfoNCE + cosine + 8 mined hard negatives + "
-                      "EMA 0.999 — the step the committed quality "
-                      "artifacts pay (DESIGN 16 probe: ~0.525 ms DiDeMo / "
-                      "~0.874 ms Charades P=64)",
+                get_preset("charades_flagship").train.batch_size
+                / sec_fs_charades, 1),
+            "config": "per-preset batch (didemo 128 / charades 64), "
+                      "InfoNCE + cosine + 8 mined hard negatives + EMA "
+                      "0.999 — the step the committed quality artifacts "
+                      "pay (DESIGN 16/33)",
         },
         "timing": "in-program loop, elision-proof (utils/timing.py)",
         "path": "eval/corpus.make_stream_retriever scan body (production throughput serving program)",

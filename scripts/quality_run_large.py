@@ -104,6 +104,16 @@ def main():
                     choices=("constant", "cosine", "step"),
                     help="recipe probe: optax schedule (committed: constant)")
     ap.add_argument("--lambda-intra", type=float, default=1.0)
+    ap.add_argument("--query-dropout", type=float, default=0.0,
+                    help="architecture probe: dropout on the query tower")
+    ap.add_argument("--pooling", default="",
+                    choices=("", "mean", "max"),
+                    help="architecture probe: segment pooling variant")
+    ap.add_argument("--per-stream-query-proj", action="store_true",
+                    help="architecture probe: separate query FC per stream")
+    ap.add_argument("--lstm-layers", type=int, default=0,
+                    help="architecture probe: stacked LSTM depth (0 = "
+                         "preset default)")
     ap.add_argument("--distance", default=_fs.model.distance,
                     choices=("", "sqeuclidean", "euclidean", "cosine"),
                     help="ModelConfig.distance override; the committed "
@@ -140,6 +150,18 @@ def main():
         base = dataclasses.replace(
             base, model=dataclasses.replace(base.model,
                                             distance=args.distance))
+    mkw = {}
+    if args.query_dropout > 0:
+        mkw["query_dropout"] = args.query_dropout
+    if args.pooling:
+        mkw["pooling"] = args.pooling
+    if args.per_stream_query_proj:
+        mkw["per_stream_query_proj"] = True
+    if args.lstm_layers:
+        mkw["lstm_layers"] = args.lstm_layers
+    if mkw:
+        base = dataclasses.replace(
+            base, model=dataclasses.replace(base.model, **mkw))
     cfg = dataclasses.replace(
         base,
         data=dataclasses.replace(

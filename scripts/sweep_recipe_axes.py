@@ -45,6 +45,14 @@ POINTS = {
                         "--epochs", "30"],
     "b128_tau030_e30": ["--batch-size", "128", "--temperature", "0.030",
                         "--epochs", "30"],
+    # at the new operating point (b128/tau.03 = preset defaults):
+    # does mining still earn its refresh, and do architecture axes move?
+    "flagship_hn0": ["--hard-negative-count", "0"],
+    "flagship_hn16": ["--hard-negative-count", "16"],
+    "flagship_dropout01": ["--query-dropout", "0.1"],
+    "flagship_poolmax": ["--pooling", "max"],
+    "flagship_psq": ["--per-stream-query-proj"],
+    "flagship_lstm2": ["--lstm-layers", "2"],
 }
 
 if __name__ == "__main__":
