@@ -72,6 +72,9 @@ def main():
     ap.add_argument("--batch-size", type=int, default=64,
                     help="recipe probe: more in-batch InfoNCE negatives "
                          "(committed artifact: 64)")
+    ap.add_argument("--query-pool", default="",
+                    choices=("", "last", "mean"),
+                    help="architecture probe: query sentence pooling")
     ap.add_argument("--distance", default="cosine",
                     choices=("", "sqeuclidean", "euclidean", "cosine"),
                     help="ModelConfig.distance override; the committed "
@@ -106,6 +109,10 @@ def main():
         base = dataclasses.replace(
             base, model=dataclasses.replace(base.model,
                                             distance=args.distance))
+    if args.query_pool:
+        base = dataclasses.replace(
+            base, model=dataclasses.replace(base.model,
+                                            query_pool=args.query_pool))
     cfg = dataclasses.replace(
         base,
         data=dataclasses.replace(

@@ -111,6 +111,9 @@ def main():
                     help="architecture probe: segment pooling variant")
     ap.add_argument("--per-stream-query-proj", action="store_true",
                     help="architecture probe: separate query FC per stream")
+    ap.add_argument("--query-pool", default="",
+                    choices=("", "last", "mean"),
+                    help="architecture probe: query sentence pooling")
     ap.add_argument("--lstm-layers", type=int, default=0,
                     help="architecture probe: stacked LSTM depth (0 = "
                          "preset default)")
@@ -157,6 +160,8 @@ def main():
         mkw["pooling"] = args.pooling
     if args.per_stream_query_proj:
         mkw["per_stream_query_proj"] = True
+    if args.query_pool:
+        mkw["query_pool"] = args.query_pool
     if args.lstm_layers:
         mkw["lstm_layers"] = args.lstm_layers
     if mkw:

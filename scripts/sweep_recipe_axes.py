@@ -53,6 +53,11 @@ POINTS = {
     "flagship_poolmax": ["--pooling", "max"],
     "flagship_psq": ["--per-stream-query-proj"],
     "flagship_lstm2": ["--lstm-layers", "2"],
+    # the axis DESIGN 34 flagged as next: query sentence pooling
+    "flagship_meanpool": ["--query-pool", "mean"],
+    "meanpool_tau025": ["--query-pool", "mean", "--temperature", "0.025"],
+    "meanpool_tau035": ["--query-pool", "mean", "--temperature", "0.035"],
+    "meanpool_tau040": ["--query-pool", "mean", "--temperature", "0.040"],
 }
 
 if __name__ == "__main__":

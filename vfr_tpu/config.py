@@ -80,6 +80,12 @@ class ModelConfig:
     per_stream_query_proj: bool = False  # separate query FC per stream (MCN
                                          # trains RGB/flow towers separately)
     pooling: str = "mean"               # "mean" | "max" segment pooling
+    # Query sentence representation: "last" = the LSTM's final hidden
+    # state (MCN-lineage default); "mean" = length-masked mean over ALL
+    # hidden states (standard sentence-embedding pooling — every trunk
+    # variant already returns hs [B, T, H] and the fused custom-VJPs
+    # carry the d(hs) cotangent, so this is one masked reduction).
+    query_pool: str = "last"            # "last" | "mean"
     distance: str = "sqeuclidean"       # "sqeuclidean" | "euclidean" | "cosine"
     stream_weights: Tuple[float, ...] = (1.0,)   # per-stream distance fusion
     normalize_embeddings: bool = False

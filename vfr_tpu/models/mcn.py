@@ -147,7 +147,9 @@ def _query_hidden(
     inference: bool, dropout_rng: Optional[jnp.ndarray] = None,
     rnn_kernel: Optional[str] = None,
 ) -> jnp.ndarray:
-    """Shared GloVe -> LSTM trunk; returns h_last [B, H].
+    """Shared GloVe -> LSTM trunk; returns the pooled query representation
+    [B, H] (cfg.query_pool: the final hidden state, or the length-masked
+    mean over all hidden states).
 
     ``rnn_kernel``: None = the use_pallas policy (Pallas on TPU inference);
     "scan" forces the f32 lax.scan twin (training precision — metrics eval
@@ -170,31 +172,45 @@ def _query_hidden(
             from vfr_tpu.ops.pallas.gru_kernel import pallas_gru
 
             _log_pallas_rnn_once("GRU")
-            h_last, _ = pallas_gru(params["lstm"], x, lengths,
-                                   model.compute_dtype)
-        elif not inference and model.cfg.train_rnn_impl == "fused":
-            h_last, _ = gru_forward_fused(params["lstm"], x, lengths,
-                                          model.compute_dtype)
-        else:
-            h_last, _ = gru_forward(params["lstm"], x, lengths,
+            h_last, hs = pallas_gru(params["lstm"], x, lengths,
                                     model.compute_dtype)
+        elif not inference and model.cfg.train_rnn_impl == "fused":
+            h_last, hs = gru_forward_fused(params["lstm"], x, lengths,
+                                           model.compute_dtype)
+        else:
+            h_last, hs = gru_forward(params["lstm"], x, lengths,
+                                     model.compute_dtype)
     elif want_kernel:
         from vfr_tpu.ops.pallas.lstm_kernel import pallas_lstm
 
         _log_pallas_rnn_once("LSTM")
-        h_last, _ = pallas_lstm(params["lstm"], x, lengths, model.compute_dtype)
+        h_last, hs = pallas_lstm(params["lstm"], x, lengths,
+                                 model.compute_dtype)
     elif not inference and model.cfg.train_rnn_impl == "fused":
         # custom-VJP fused layout: hoisted input GEMM + sequence-sized
         # weight-gradient GEMMs (grad-parity-tested vs scan + torch)
-        h_last, _ = lstm_forward_fused(params["lstm"], x, lengths,
-                                       model.compute_dtype)
+        h_last, hs = lstm_forward_fused(params["lstm"], x, lengths,
+                                        model.compute_dtype)
     else:
-        h_last, _ = lstm_forward(params["lstm"], x, lengths, model.compute_dtype)
+        h_last, hs = lstm_forward(params["lstm"], x, lengths,
+                                  model.compute_dtype)
+    if model.cfg.query_pool == "mean":
+        # length-masked mean over hidden states.  hs at t >= length holds
+        # the FROZEN carry (the trunk keeps h at each sequence's last live
+        # value), so the mask is required for correctness, not hygiene.
+        T = hs.shape[1]
+        mask = (jnp.arange(T)[None, :] < lengths[:, None]).astype(hs.dtype)
+        h = jnp.sum(hs * mask[:, :, None], axis=1) / jnp.maximum(
+            lengths[:, None].astype(hs.dtype), 1.0)
+    elif model.cfg.query_pool == "last":
+        h = h_last
+    else:
+        raise ValueError(f"unknown query_pool {model.cfg.query_pool!r}")
     rate = model.cfg.query_dropout
     if dropout_rng is not None and rate > 0.0 and not inference:
-        keep = jax.random.bernoulli(dropout_rng, 1.0 - rate, h_last.shape)
-        h_last = jnp.where(keep, h_last / (1.0 - rate), 0.0)
-    return h_last
+        keep = jax.random.bernoulli(dropout_rng, 1.0 - rate, h.shape)
+        h = jnp.where(keep, h / (1.0 - rate), 0.0)
+    return h
 
 
 def _maybe_normalize(cfg: ModelConfig, v: jnp.ndarray) -> jnp.ndarray:
