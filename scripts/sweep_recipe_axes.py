@@ -58,6 +58,9 @@ POINTS = {
     "meanpool_tau025": ["--query-pool", "mean", "--temperature", "0.025"],
     "meanpool_tau035": ["--query-pool", "mean", "--temperature", "0.035"],
     "meanpool_tau040": ["--query-pool", "mean", "--temperature", "0.040"],
+    "meanpool_tau020": ["--query-pool", "mean", "--temperature", "0.020"],
+    "meanpool_tau022": ["--query-pool", "mean", "--temperature", "0.022"],
+    "meanpool_tau028": ["--query-pool", "mean", "--temperature", "0.028"],
 }
 
 if __name__ == "__main__":
