@@ -61,6 +61,11 @@ POINTS = {
     "meanpool_tau020": ["--query-pool", "mean", "--temperature", "0.020"],
     "meanpool_tau022": ["--query-pool", "mean", "--temperature", "0.022"],
     "meanpool_tau028": ["--query-pool", "mean", "--temperature", "0.028"],
+    # 0.020 is the best point tried AND the lower edge of the tried
+    # range — walk down to find the cliff (cosine stalled at <=0.015
+    # under max pool, DESIGN 28; mean pool may shift that)
+    "meanpool_tau016": ["--query-pool", "mean", "--temperature", "0.016"],
+    "meanpool_tau018": ["--query-pool", "mean", "--temperature", "0.018"],
 }
 
 if __name__ == "__main__":
