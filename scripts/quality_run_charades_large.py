@@ -224,7 +224,8 @@ def main():
                  "lambda_intra": cfg.train.lambda_intra,
                  "lambda_inter": cfg.train.lambda_inter},
         "model": {"distance": cfg.model.distance,
-                  "joint_dim": cfg.model.joint_dim},
+                  "joint_dim": cfg.model.joint_dim,
+                  "query_pool": cfg.model.query_pool},
         "fixture": {
             "num_videos": NUM_VIDEOS,
             "num_queries_train": train_ds.num_queries,

@@ -117,6 +117,9 @@ def main():
     ap.add_argument("--lstm-layers", type=int, default=0,
                     help="architecture probe: stacked LSTM depth (0 = "
                          "preset default)")
+    ap.add_argument("--seed", type=int, default=-1,
+                    help="fixture/init seed override (-1 = preset default; "
+                         "sweep twins use this to size run-to-run jitter)")
     ap.add_argument("--distance", default=_fs.model.distance,
                     choices=("", "sqeuclidean", "euclidean", "cosine"),
                     help="ModelConfig.distance override; the committed "
@@ -177,6 +180,7 @@ def main():
             synthetic_noise=0.25,
             synthetic_vocab_words=vocab_words,
             bank_dtype=args.bank_dtype,
+            **({"synthetic_seed": args.seed} if args.seed >= 0 else {}),
         ),
         train=dataclasses.replace(
             base.train,
@@ -192,6 +196,10 @@ def main():
             temperature_final=args.temperature_final,
             ema_decay=args.ema_decay,
             hard_negative_count=args.hard_negative_count,
+            # jitter twins move BOTH the fixture and the init/shuffle seed:
+            # the conservative (largest) run-to-run noise estimate
+            **({"seed": base.train.seed + args.seed + 1}
+               if args.seed >= 0 else {}),
             # start/refresh cadence inherited from the flagship preset
             # (start_epoch 3, refresh 1)
             # ONE fused dispatch + metrics fetch per 875-step epoch: at
@@ -298,7 +306,8 @@ def main():
                  "lambda_intra": cfg.train.lambda_intra,
                  "lambda_inter": cfg.train.lambda_inter},
         "model": {"distance": cfg.model.distance,
-                  "joint_dim": cfg.model.joint_dim},
+                  "joint_dim": cfg.model.joint_dim,
+                  "query_pool": cfg.model.query_pool},
         "fixture": {
             "num_videos": num_videos,
             "num_queries_train": train_ds.num_queries,

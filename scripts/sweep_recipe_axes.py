@@ -66,6 +66,21 @@ POINTS = {
     # under max pool, DESIGN 28; mean pool may shift that)
     "meanpool_tau016": ["--query-pool", "mean", "--temperature", "0.016"],
     "meanpool_tau018": ["--query-pool", "mean", "--temperature", "0.018"],
+    # re-acquittals at the new operating point (mean pool, tau .018 — the
+    # measured band peak: .016=0.432, .018=0.478, .020=0.473):
+    # does mining still earn its refresh, and is 20 epochs still the stop?
+    "meanpool_hn0": ["--query-pool", "mean", "--temperature", "0.018",
+                     "--hard-negative-count", "0"],
+    "meanpool_e30": ["--query-pool", "mean", "--temperature", "0.018",
+                     "--epochs", "30"],
+    # batch axis re-acquittal: DESIGN 33's B=128 win was measured under
+    # last-pool; check the population lever still earns under mean pool
+    "meanpool_b64": ["--query-pool", "mean", "--temperature", "0.018",
+                     "--batch-size", "64"],
+    # seed-jitter twin for the band peak: is .018 vs .020 (+0.0054) real
+    # or noise?  same point, different seed
+    "meanpool_tau018_s1": ["--query-pool", "mean", "--temperature", "0.018",
+                           "--seed", "1"],
 }
 
 if __name__ == "__main__":
