@@ -73,7 +73,7 @@ def main():
                     help="recipe probe: more in-batch InfoNCE negatives "
                          "(committed artifact: 64)")
     ap.add_argument("--query-pool", default="",
-                    choices=("", "last", "mean"),
+                    choices=("", "last", "mean", "attn"),
                     help="architecture probe: query sentence pooling")
     ap.add_argument("--distance", default="cosine",
                     choices=("", "sqeuclidean", "euclidean", "cosine"),

@@ -112,7 +112,7 @@ def main():
     ap.add_argument("--per-stream-query-proj", action="store_true",
                     help="architecture probe: separate query FC per stream")
     ap.add_argument("--query-pool", default="",
-                    choices=("", "last", "mean"),
+                    choices=("", "last", "mean", "attn"),
                     help="architecture probe: query sentence pooling")
     ap.add_argument("--lstm-layers", type=int, default=0,
                     help="architecture probe: stacked LSTM depth (0 = "

@@ -105,6 +105,63 @@ def test_pallas_inference_path_matches_scan_mean_pool():
     np.testing.assert_allclose(got, ref, rtol=2e-2, atol=2e-2)
 
 
+def test_attn_pool_at_init_equals_mean_pool():
+    """query_attn is ZERO-initialized: uniform masked softmax == the
+    masked mean, so attn training starts from the measured-best fixed
+    pool and only departs if gradients move the scoring vector."""
+    model_a, params_a, tokens, lengths = _setup(query_pool="attn")
+    model_m, params_m, _, _ = _setup(query_pool="mean")
+    got = np.asarray(_query_hidden(params_a, model_a, tokens, lengths,
+                                   inference=False))
+    ref = np.asarray(_query_hidden(params_m, model_m, tokens, lengths,
+                                   inference=False))
+    np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-6)
+
+
+def test_attn_pool_masks_frozen_tail():
+    """A nonzero scoring vector must not attend past the length: states
+    at t >= length (frozen carry) change nothing even when their scores
+    would dominate the softmax."""
+    model, params, tokens, lengths = _setup(query_pool="attn")
+    params = dict(params)
+    rng = np.random.default_rng(1)
+    params["query_attn"] = jnp.asarray(
+        rng.standard_normal(H).astype(np.float32) * 5.0)
+    base = np.asarray(_query_hidden(params, model, tokens, lengths,
+                                    inference=False))
+    # shuffle the PADDING tokens (b=1 has length 3 of T=7); live prefix
+    # unchanged -> pooled representation must be identical
+    t2 = np.asarray(tokens).copy()
+    t2[1, 3:] = (t2[1, 3:] + 7) % 31 + 1
+    got = np.asarray(_query_hidden(params, model, jnp.asarray(t2), lengths,
+                                   inference=False))
+    np.testing.assert_allclose(got[1], base[1], rtol=1e-5, atol=1e-6)
+
+
+@pytest.mark.parametrize("cell", ["lstm", "gru"])
+def test_attn_pool_grad_reaches_scoring_vector(cell):
+    """The scoring vector must receive gradient through the softmax (at
+    zero init the weights are uniform but d(loss)/d(query_attn) != 0
+    whenever states differ), and the fused trunk must carry the d(hs)
+    cotangent exactly like scan."""
+    model_s, params, tokens, lengths = _setup(query_pool="attn",
+                                              rnn_cell=cell,
+                                              train_rnn_impl="scan")
+    model_f, _, _, _ = _setup(query_pool="attn", rnn_cell=cell,
+                              train_rnn_impl="fused")
+
+    def loss(p, model):
+        q = embed_queries(p, model, tokens, lengths, inference=False)
+        return jnp.sum(q * q)
+
+    g_scan = jax.grad(lambda p: loss(p, model_s))(params)
+    assert float(jnp.abs(g_scan["query_attn"]).max()) > 0.0
+    g_fused = jax.grad(lambda p: loss(p, model_f))(params)
+    for a, b in zip(jax.tree.leaves(g_scan), jax.tree.leaves(g_fused)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=1e-5)
+
+
 def test_unknown_query_pool_rejected():
     model, params, tokens, lengths = _setup(query_pool="attention")
     with pytest.raises(ValueError, match="query_pool"):

@@ -85,7 +85,7 @@ class ModelConfig:
     # hidden states (standard sentence-embedding pooling — every trunk
     # variant already returns hs [B, T, H] and the fused custom-VJPs
     # carry the d(hs) cotangent, so this is one masked reduction).
-    query_pool: str = "last"            # "last" | "mean"
+    query_pool: str = "last"            # "last" | "mean" | "attn"
     distance: str = "sqeuclidean"       # "sqeuclidean" | "euclidean" | "cosine"
     stream_weights: Tuple[float, ...] = (1.0,)   # per-stream distance fusion
     normalize_embeddings: bool = False

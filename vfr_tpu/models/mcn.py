@@ -105,6 +105,10 @@ def init_model_params(
         params["query_proj"] = _linear_init(
             r_qproj, cfg.lstm_hidden, cfg.joint_dim, dtype
         )
+    if cfg.query_pool == "attn":
+        # zeros -> uniform softmax -> masked mean at init (see
+        # _query_hidden); the pool only sharpens if gradients say so
+        params["query_attn"] = jnp.zeros((cfg.lstm_hidden,), dtype)
     in_dim = moment_input_dim(cfg, feature_dim)
     for s in model.streams:
         rng, r = jax.random.split(rng)
@@ -202,6 +206,17 @@ def _query_hidden(
         mask = (jnp.arange(T)[None, :] < lengths[:, None]).astype(hs.dtype)
         h = jnp.sum(hs * mask[:, :, None], axis=1) / jnp.maximum(
             lengths[:, None].astype(hs.dtype), 1.0)
+    elif model.cfg.query_pool == "attn":
+        # learned attention over hidden states: one scoring vector, masked
+        # softmax over live timesteps.  ZERO-initialized, so step 0 is
+        # exactly the masked mean (the measured-best fixed pool) and
+        # training can only move away from it if the data earns it.
+        T = hs.shape[1]
+        mask = jnp.arange(T)[None, :] < lengths[:, None]
+        scores = jnp.einsum(
+            "bth,h->bt", hs, params["query_attn"].astype(hs.dtype))
+        w = jax.nn.softmax(jnp.where(mask, scores, -1e30), axis=1)
+        h = jnp.einsum("bt,bth->bh", w, hs)
     elif model.cfg.query_pool == "last":
         h = h_last
     else:
