@@ -104,6 +104,9 @@ def main():
                     choices=("constant", "cosine", "step"),
                     help="recipe probe: optax schedule (committed: constant)")
     ap.add_argument("--lambda-intra", type=float, default=1.0)
+    ap.add_argument("--lambda-inter-rev", type=float, default=0.0,
+                    help="objective probe: weight of the symmetric "
+                         "(moment->query) InfoNCE direction (0 = off)")
     ap.add_argument("--query-dropout", type=float, default=0.0,
                     help="architecture probe: dropout on the query tower")
     ap.add_argument("--pooling", default="",
@@ -189,6 +192,7 @@ def main():
             lr_schedule=args.lr_schedule,
             lambda_intra=args.lambda_intra,
             lambda_inter=args.lambda_inter,
+            lambda_inter_rev=args.lambda_inter_rev,
             inter_negatives="all_spans",
             loss_type=args.loss_type,
             temperature=args.temperature,
@@ -304,7 +308,8 @@ def main():
                  "learn_temperature": cfg.train.learn_temperature,
                  "temperature_final": cfg.train.temperature_final,
                  "lambda_intra": cfg.train.lambda_intra,
-                 "lambda_inter": cfg.train.lambda_inter},
+                 "lambda_inter": cfg.train.lambda_inter,
+                 "lambda_inter_rev": cfg.train.lambda_inter_rev},
         "model": {"distance": cfg.model.distance,
                   "joint_dim": cfg.model.joint_dim,
                   "query_pool": cfg.model.query_pool},

@@ -81,6 +81,17 @@ POINTS = {
     # or noise?  same point, different seed
     "meanpool_tau018_s1": ["--query-pool", "mean", "--temperature", "0.018",
                            "--seed", "1"],
+    # the two axes DESIGN 34/35 flagged next, both probed AT the new
+    # operating point (mean pool, tau .018):
+    # learned attention pool — zero-init == masked mean, so any delta is
+    # what the data earns beyond uniform weights
+    "attnpool_tau018": ["--query-pool", "attn", "--temperature", "0.018"],
+    # objective shaping: CLIP-style symmetric InfoNCE (reverse CE weight 1
+    # = the standard two-directional objective, 0.5 = half-weight probe)
+    "meanpool_symrev1": ["--query-pool", "mean", "--temperature", "0.018",
+                         "--lambda-inter-rev", "1.0"],
+    "meanpool_symrev05": ["--query-pool", "mean", "--temperature", "0.018",
+                          "--lambda-inter-rev", "0.5"],
 }
 
 if __name__ == "__main__":

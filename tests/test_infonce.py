@@ -99,6 +99,48 @@ def test_infonce_proposal_mask_and_hard_negatives():
     assert 0.0 <= float(aux["loss_hard"]) <= 1.0
 
 
+def _numpy_inter_rev(q, m, target, video_idx, tau):
+    """Reverse CE: each gt moment classifies its query.  Denominator over
+    queries b' with b' == b or video(b') != video(b)."""
+    B = q.shape[0]
+    D = ((q[:, None, None, :] - m[None, :, :, :]) ** 2).sum(-1)
+    logits = -D / tau
+    total = 0.0
+    for b in range(B):
+        pos = logits[b, b, target[b]]
+        cand = [logits[b2, b, target[b]] for b2 in range(B)
+                if b2 == b or video_idx[b2] != video_idx[b]]
+        total += np.log(np.sum(np.exp(cand))) - pos
+    return total / B
+
+
+def test_symmetric_infonce_matches_numpy_reference():
+    """lambda_inter_rev adds the CLIP-style reverse direction: golden
+    parity vs a per-example numpy implementation, including the
+    same-video query exclusion."""
+    rng = np.random.default_rng(4)
+    B, P, d = 5, 3, 6
+    q = rng.standard_normal((B, d)).astype(np.float32)
+    m = rng.standard_normal((B, P, d)).astype(np.float32)
+    target = np.array([0, 2, 1, 0, 2], np.int32)
+    video_idx = np.array([0, 1, 1, 2, 3], np.int32)
+    model = _tiny_model(P)
+    base = dict(loss_type="infonce", temperature=0.4,
+                lambda_intra=1.0, lambda_inter=0.7)
+    l0, aux0 = infonce_loss(
+        model, TrainConfig(**base), jnp.asarray(q), {"rgb": jnp.asarray(m)},
+        jnp.asarray(target), jnp.asarray(video_idx))
+    l1, aux1 = infonce_loss(
+        model, TrainConfig(lambda_inter_rev=0.5, **base),
+        jnp.asarray(q), {"rgb": jnp.asarray(m)},
+        jnp.asarray(target), jnp.asarray(video_idx))
+    # off by default: identical loss, zero reverse term
+    assert float(aux0["loss_inter_rev"]) == 0.0
+    rev = _numpy_inter_rev(q, m, target, video_idx, 0.4)
+    np.testing.assert_allclose(float(aux1["loss_inter_rev"]), rev, rtol=1e-4)
+    np.testing.assert_allclose(float(l1), float(l0) + 0.5 * rev, rtol=1e-4)
+
+
 def test_masked_proposals_never_enter_the_denominator():
     """Sending a masked proposal's embedding to +-inf must not change the
     loss — the softmax can only ignore it if the mask reached the logits."""

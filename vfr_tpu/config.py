@@ -149,6 +149,12 @@ class TrainConfig:
     # per-step operand, so changing the schedule never recompiles.
     # Mutually exclusive with learn_temperature.
     temperature_final: float = 0.0      # 0 = constant temperature
+    # Symmetric InfoNCE (infonce only): weight of the REVERSE cross-entropy
+    # — each ground-truth moment classifying its query against the other
+    # batch queries (CLIP's two-directional objective).  Reuses the same
+    # [B, B, P] tensor (one gather, no extra matmul).  0 = off (the
+    # committed one-directional objective).
+    lambda_inter_rev: float = 0.0
     margin: float = 0.1                 # triplet ranking margin
     lambda_intra: float = 1.0
     lambda_inter: float = 0.2

@@ -203,6 +203,21 @@ def infonce_loss(
 
     loss = tcfg.lambda_intra * l_intra + tcfg.lambda_inter * l_inter
 
+    # ---- symmetric (reverse) CE: each gt moment classifies its QUERY.
+    # rev[b', b] = logits[b', b, target[b]] — query b' scored against b's
+    # gt moment; denominator over queries (b' == b, or a different video:
+    # same-video queries may describe the positive moment, same exclusion
+    # as the forward term).  One gather from the existing tensor.
+    l_inter_rev = jnp.float32(0.0)
+    if tcfg.lambda_inter_rev > 0.0:
+        rev = logits[:, bidx, target]                 # [B', B]
+        # keep_row is symmetric (eye | ~same_video with a symmetric
+        # same_video), so keep_row[b', b] masks the reverse direction too
+        rev = jnp.where(keep_row, rev, -jnp.inf)
+        l_inter_rev = jnp.mean(
+            jax.nn.logsumexp(rev, axis=0) - pos_logit)
+        loss = loss + tcfg.lambda_inter_rev * l_inter_rev
+
     D_own = D[bidx, bidx]
     D_masked = jnp.where(pmask, D_own, jnp.inf)
     acc = jnp.mean((jnp.argmin(D_masked, axis=1) == target).astype(jnp.float32))
@@ -210,6 +225,7 @@ def infonce_loss(
         "loss": loss,
         "loss_intra": l_intra,
         "loss_inter": l_inter,
+        "loss_inter_rev": l_inter_rev,
         "loss_hard": l_hard,
         "pos_dist": jnp.mean(D_own[bidx, target]),
         "train_r1": acc,
