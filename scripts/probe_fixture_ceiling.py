@@ -9,11 +9,14 @@ the generative model's own projections:
 
     score(q, m) = sum_s cos( mean_glove(q) @ A_s ,  pooled_feats_s[m] )
 
-No decoder can beat the generative matched filter by much at this SNR, so
-the oracle's corpus recall is an honest ceiling for ANY learned model on
-this fixture.  A large oracle-vs-trained gap = recipe headroom (worth
-chasing with a better objective); a small gap = fixture-limited (chasing
-it would be noise-fitting).
+The oracle is a STRONG-BASELINE bound, not an information bound: it is
+pair-optimal under isotropic noise but cannot adapt to corpus-scale
+crowding (which moments are confusable), so a discriminatively trained
+tower can exceed it — and does: the mean-pool flagship recipe measured
+0.478 video R@1 vs the oracle's 0.455 (DESIGN 35).  Read a large
+oracle-vs-trained gap as recipe headroom; read trained >= oracle as the
+recipe having learned crowding structure the generative projections
+don't carry.
 
 Run:  python scripts/probe_fixture_ceiling.py --num-videos 10000
 Writes artifacts/fixture_ceiling.json when --out is given.
