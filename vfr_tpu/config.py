@@ -366,9 +366,13 @@ def _flagship_train(**kw) -> TrainConfig:
     kw.setdefault("batch_size", 128)   # 2x in-batch InfoNCE negatives:
                                        # +47% alone; knee — 256 loses,
                                        # 512 stalls (DESIGN 33)
-    kw.setdefault("temperature", 0.03)  # band peak at B=128 (.02 at
-                                        # B=64); cliff below ~.016,
-                                        # decay past ~.035
+    kw.setdefault("temperature", 0.018)  # band peak under MEAN query
+                                         # pooling at B=128 (.018-.020
+                                         # indistinguishable at seed
+                                         # jitter; decay past ~.028 —
+                                         # DESIGN 35.  Last-pool wanted
+                                         # .03: tau re-tempers DOWN with
+                                         # the lower-variance mean)
     return TrainConfig(
         num_epochs=20,
         loss_type="infonce",
@@ -385,8 +389,12 @@ def _flagship_train(**kw) -> TrainConfig:
 _register(ExperimentConfig(
     name="didemo_flagship",
     data=_didemo_data(use_flow=True),
+    # query_pool="mean": the length-masked mean over LSTM states beats
+    # the final-state summary by +85% corpus video R@1 (0.258 -> 0.478,
+    # DESIGN 35); learned attention pooling and symmetric InfoNCE both
+    # measured within seed jitter of it — the simple mean is the recipe
     model=ModelConfig(stream_weights=(0.5, 0.5), use_tef=True,
-                      distance="cosine"),
+                      distance="cosine", query_pool="mean"),
     train=_flagship_train(),
     eval=EvalConfig(eval_batch_size=512, corpus_query_batch=256),
 ))
