@@ -40,6 +40,7 @@ def test_didemo_flagship_matches_committed_artifact():
     assert cfg.train.batch_size == art["batch_size"]
     assert cfg.model.distance == art["model"]["distance"]
     assert cfg.model.joint_dim == art["model"]["joint_dim"]
+    assert cfg.model.query_pool == art["model"]["query_pool"]
     assert cfg.train.inter_negatives == "all_spans"
 
 

@@ -1,16 +1,17 @@
 """Regression gate on the SPEC-SCALE quality artifact (VERDICT r2 #1).
 
 scripts/quality_run_large.py trains the didemo_flagship preset recipe
-(InfoNCE over cosine distance, batch 128 / tau 0.03 — the in-batch
-negative population is the lever, DESIGN 33 — + mining count 8 /
-refresh every epoch + Polyak-averaged serving weights ema_decay 0.999,
-docs/DESIGN.md 11b/27/28/30/33) on a 10,000-video fixture and evaluates
-corpus retrieval against the full 210,000-row moment index — the corpus
-scale BASELINE.json:10-11 names, not the 256-video fixture the small
-artifact uses.  Committed artifact (2026-08-19, b128/tau.03 recipe):
-corpus video R@1 ~0.258 = 2,580x the 1e-4 chance floor (r3 B=64 recipe:
-0.139; no-EMA cosine-infonce: 0.114; r2-era triplet: 0.0312), video
-R@5 ~0.40, localization R@1@0.5 ~0.94 / mIoU ~0.90.
+(InfoNCE over cosine distance, MEAN query pooling — the final-state
+summary was costing ~half the recall, DESIGN 35 — batch 128 / tau 0.018
++ mining count 8 / refresh every epoch + Polyak-averaged serving weights
+ema_decay 0.999, docs/DESIGN.md 11b/27/28/30/33/35) on a 10,000-video
+fixture and evaluates corpus retrieval against the full 210,000-row
+moment index — the corpus scale BASELINE.json:10-11 names, not the
+256-video fixture the small artifact uses.  Committed artifact
+(2026-08-19, mean-pool recipe): corpus video R@1 ~0.48 = 4,800x the
+1e-4 chance floor (last-pool b128 recipe: 0.258; r3 B=64 recipe: 0.139;
+no-EMA cosine-infonce: 0.114; r2-era triplet: 0.0312), video R@5 ~0.64,
+localization R@1@0.5 ~0.98 / mIoU ~0.95.
 
 Thresholds sit at roughly half the committed numbers (and >=100x chance
 for the corpus metrics) so rerun jitter passes while a mining/loss/
@@ -46,10 +47,10 @@ def test_corpus_retrieval_far_above_chance_at_scale():
     out = _load()
     m = out["corpus"]
     chance_v1 = out["chance_video_R@1"]               # 1e-4 at 10k videos
-    assert m["corpus_video_R@1"] >= max(100 * chance_v1, 0.15), (
+    assert m["corpus_video_R@1"] >= max(100 * chance_v1, 0.24), (
         m, chance_v1)
-    assert m["corpus_video_R@5"] >= 0.24, m
-    assert m["corpus_R@1_tiou0.5"] >= 0.14, m
+    assert m["corpus_video_R@5"] >= 0.32, m
+    assert m["corpus_R@1_tiou0.5"] >= 0.23, m
     # internal consistency
     assert m["corpus_video_R@5"] >= m["corpus_video_R@1"]
     assert m["corpus_R@5_tiou0.5"] <= m["corpus_video_R@5"]
