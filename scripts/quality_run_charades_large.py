@@ -58,9 +58,9 @@ def main():
     # artifact defaults = the DESIGN 27/28 recipe: infonce over COSINE
     # distance at tau 0.02 / lambda_inter 1.0 lifts corpus video R@1
     # 0.6045 (triplet) -> 0.697 (infonce sqeuclidean tau .05) ->
-    # **0.9235** on this fixture, localization better too (R@1@0.5
-    # 0.983 / R@1@0.7 0.798); --loss-type triplet --distance sqeuclidean
-    # reproduces the r2-era margin recipe.
+    # 0.91-0.92 on this fixture (committed artifact: 0.91), localization
+    # better too (R@1@0.5 0.983 / R@1@0.7 0.798); --loss-type triplet
+    # --distance sqeuclidean reproduces the r2-era margin recipe.
     ap.add_argument("--loss-type", default="infonce",
                     choices=("triplet", "infonce"))
     ap.add_argument("--temperature", type=float, default=0.02)

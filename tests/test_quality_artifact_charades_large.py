@@ -7,13 +7,14 @@ the validated mining recipe (count 8 / refresh 1) on a 2,000-video fixture
 — 1.5x the real Charades-STA test corpus (~1,334 videos) — and evaluates
 corpus retrieval against the full 128,000-row window-bank index.
 
-Committed artifact (TPU run, 2026-08-18, cosine-infonce tau 0.02
-recipe — docs/DESIGN.md 27/28 — noise 0.25, 2 planted spans per video,
-20 epochs): localization R@1@0.5 0.983 / R@1@0.7 0.798, mIoU 0.783;
-corpus video R@1 0.9235 / R@5 0.9765 over 128,000 rows (chance video
-R@1 = 5e-4, so 1,847x chance; r2-era triplet recipe: 0.6045,
-sqeuclidean infonce: 0.697 on the same fixture); steady mining refresh
-median ~1.0 s/epoch over 14k training queries.
+Committed artifact (TPU run, cosine-infonce tau 0.02 recipe —
+docs/DESIGN.md 27/28 — noise 0.25, 2 planted spans per video, 20
+epochs): localization R@1@0.5 0.984 / R@1@0.7 0.798, mIoU 0.782;
+corpus video R@1 0.91 / R@5 0.97 over 128,000 rows (0.91-0.92 across
+regenerations of the same recipe — near-saturated metric, retrain
+jitter; chance video R@1 = 5e-4, so 1,820x chance; r2-era triplet
+recipe: 0.6045, sqeuclidean infonce: 0.697 on the same fixture);
+steady mining refresh median ~1.0 s/epoch over 14k training queries.
 
 Thresholds sit at roughly half the committed numbers (and >=100x chance
 for the corpus metrics) so rerun jitter passes while a window-bank /

@@ -415,7 +415,8 @@ _register(ExperimentConfig(
     # training queries give only ~109 steps/epoch at B=128 and its 2k-video
     # corpus is near-saturated — measured (DESIGN 33): B=128/tau.03 0.8715,
     # B=128/tau.02 worse than committed too; B=64/tau.02 stays the peak
-    # (corpus video R@1 0.9235)
+    # (corpus video R@1 0.91-0.92 across regenerations; the committed
+    # artifact — the number the gate holds — records 0.91)
     train=_flagship_train(margin=0.2, batch_size=64, temperature=0.02),
     eval=EvalConfig(tiou_thresholds=(0.5, 0.7), eval_batch_size=512,
                     corpus_query_batch=256),
