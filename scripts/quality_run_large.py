@@ -299,8 +299,14 @@ def main():
     refresh_s = [r["refresh_s"] for r in refreshes]
     setup = next((r for r in records if r["tag"] == "setup"), {})
 
+    from vfr_tpu.utils.io import tree_fingerprint
+
     out = {
         "preset": "didemo_flagship",
+        # pins the exact serving weights (EMA tree) without committing the
+        # ~100 MB checkpoint binary (VERDICT r4 #7): the recipe is
+        # deterministic, so a regenerated ck/ can be verified against this
+        "params_fingerprint": tree_fingerprint(params),
         "bank_dtype": cfg.data.bank_dtype,
         "ema_decay": cfg.train.ema_decay,
         "loss": {"type": cfg.train.loss_type,

@@ -129,24 +129,18 @@ def index_fingerprint(params, model: Model, dataset, num_videos: int) -> Dict:
     the serving process's (params, model, dataset)."""
     import hashlib
 
+    from vfr_tpu.utils.io import tree_fingerprint
+
     h = hashlib.sha1()
     h.update(repr(_model_key(model)).encode())
     model_hash = h.hexdigest()
-    hp = hashlib.sha1()
-    # ONE bulk transfer: per-leaf np.asarray would pay a ~100 ms relay
-    # round-trip per leaf on this runtime (DESIGN 8)
-    for leaf in jax.device_get(jax.tree.leaves(params)):
-        a = np.asarray(leaf)
-        hp.update(str(a.dtype).encode())
-        hp.update(str(a.shape).encode())
-        hp.update(a.tobytes())
     hv = hashlib.sha1()
     for vid in list(dataset.video_ids)[:num_videos]:
         hv.update(str(vid).encode())
         hv.update(b"\0")
     return {
         "model": model_hash,
-        "params": hp.hexdigest(),
+        "params": tree_fingerprint(params),
         "num_videos": int(num_videos),
         "videos": hv.hexdigest(),
         "dataset": "charades" if hasattr(dataset, "windows") else "didemo",

@@ -14,6 +14,31 @@ import os
 import numpy as np
 
 
+def tree_fingerprint(tree) -> str:
+    """SHA-1 over every leaf's dtype/shape/bytes of a parameter pytree.
+
+    Quality artifacts record this instead of committing the ~100 MB
+    checkpoint binary (VERDICT r4 #7: retrains were growing .git by
+    100 MB each): the committed recipe is deterministic, so anyone can
+    regenerate the checkpoint from the artifact's config and verify the
+    weights byte-for-byte against this hash.  Same per-leaf encoding as
+    eval/corpus.index_fingerprint's params hash (which reuses this).
+
+    ONE bulk device_get — per-leaf np.asarray pays a ~100 ms relay
+    round-trip per leaf on this runtime (DESIGN 8)."""
+    import hashlib
+
+    import jax
+
+    h = hashlib.sha1()
+    for leaf in jax.device_get(jax.tree.leaves(tree)):
+        a = np.asarray(leaf)
+        h.update(str(a.dtype).encode())
+        h.update(str(a.shape).encode())
+        h.update(a.tobytes())
+    return h.hexdigest()
+
+
 def atomic_savez(path: str, arrays: dict, compressed: bool = False) -> str:
     """``np.savez`` of ``arrays`` (an explicit dict, NOT **kwargs: a
     caller-controlled table could contain a key named "compressed" or
