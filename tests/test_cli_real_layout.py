@@ -85,6 +85,97 @@ def test_cli_full_path_from_real_layout_didemo(tmp_path, capsys):
     assert all(h["video"] in fix.rgb.ids() for h in hits)
 
 
+def test_cli_flagship_surface_from_real_layout(tmp_path, capsys,
+                                               monkeypatch):
+    """The FLAGSHIP product surface composed from an on-disk real layout
+    (VERDICT r4 weak #5 / next #4) — the exact path a real-data user runs
+    on day one: `--preset didemo_flagship` train with --best-metric
+    (InfoNCE + cosine + mean pooling + mining + EMA), eval/index/serve
+    with --best (EMA-tree reload via the checkpoint's own config), a
+    cosine-fingerprinted index validated at serve time, and one live
+    `!add`/`!save`/boot-from-arena cycle."""
+    import io
+
+    from vfr_tpu.cli import main
+
+    d, fix = _write_didemo_dir(tmp_path)
+    ck = str(tmp_path / "ck")
+    common = ["--data-dir", d, "--checkpoint-dir", ck]
+
+    # batch sized to the 12-video rehearsal fixture; every other flagship
+    # knob (loss, distance, pooling, mining cadence, EMA) is the preset's
+    rc = main(["train", "--preset", "didemo_flagship", *common,
+               "--batch-size", "12", "--epochs", "4",
+               "--best-metric", "R@1_tiou0.5"])
+    assert rc == 0
+    assert "R@1" in capsys.readouterr().out
+    assert os.path.exists(os.path.join(ck, "best.msgpack"))
+    # the run actually mined (start epoch 3 < 4 epochs)
+    tags = [json.loads(l)["tag"]
+            for l in open(os.path.join(ck, "metrics.jsonl"))]
+    assert "mine" in tags and "best" in tags
+
+    rc = main(["eval", "--preset", "didemo_flagship", *common, "--best",
+               "--protocol", "didemo_official"])
+    assert rc == 0
+    assert "R@1_official" in capsys.readouterr().out
+
+    # cosine-fingerprinted index built FROM the best (EMA) weights...
+    idx = str(tmp_path / "idx.npz")
+    rc = main(["index", "--preset", "didemo_flagship", *common, "--best",
+               "--out", idx])
+    assert rc == 0
+    capsys.readouterr()
+    assert os.path.exists(idx)
+
+    # ...and validated against them at serve time (fingerprint check runs
+    # inside serve; a mismatched checkpoint would raise)
+    qfile = tmp_path / "q.txt"
+    words = [w for w in fix.vocab.itos if w not in ("<pad>", "<unk>")][:3]
+    qfile.write_text(" ".join(words) + "\n")
+    rc = main(["serve", "--preset", "didemo_flagship", *common, "--best",
+               "--index-path", idx, "--queries", str(qfile), "--topk", "3"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    results = [json.loads(l) for l in out.splitlines() if l.startswith("{")]
+    assert len(results) == 1 and len(results[0]["results"]) == 3
+    dists = [h["distance"] for h in results[0]["results"]]
+    assert dists == sorted(dists)
+
+    # live lifecycle on the flagship model: answer, grow, snapshot...
+    rng = np.random.default_rng(7)
+    delta = tmp_path / "delta.npz"
+    np.savez(delta,
+             video_ids=np.asarray(["fresh0000", "fresh0001"]),
+             rgb=rng.standard_normal((2, 6, 2048)).astype(np.float32),
+             flow=rng.standard_normal((2, 6, 2048)).astype(np.float32))
+    arena = str(tmp_path / "arena.npz")
+    q = " ".join(words)
+    monkeypatch.setattr("sys.stdin",
+                        io.StringIO(f"{q}\n!add {delta}\n!save {arena}\n"))
+    rc = main(["serve", "--preset", "didemo_flagship", *common, "--best",
+               "--queries", "-", "--follow", "--topk", "3",
+               "--live-capacity-videos", "20"])
+    assert rc == 0
+    recs = [json.loads(l) for l in
+            capsys.readouterr().out.splitlines() if l.strip()]
+    assert len(recs) == 3
+    assert len(recs[0]["results"]) == 3
+    assert recs[1]["added_rows"] == 2 * 21
+    assert os.path.exists(arena)
+
+    # ...and boot a fresh daemon from the snapshot: the arena fingerprint
+    # must accept the same --best weights and serve the grown corpus
+    monkeypatch.setattr("sys.stdin", io.StringIO(f"{q}\n"))
+    rc = main(["serve", "--preset", "didemo_flagship", *common, "--best",
+               "--queries", "-", "--follow", "--topk", "3",
+               "--live-arena", arena])
+    assert rc == 0
+    recs = [json.loads(l) for l in
+            capsys.readouterr().out.splitlines() if l.strip()]
+    assert len(recs) == 1 and len(recs[0]["results"]) == 3
+
+
 def test_cli_full_path_from_real_layout_charades(tmp_path, capsys):
     from vfr_tpu.cli import main
 
