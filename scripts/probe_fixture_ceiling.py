@@ -1,25 +1,44 @@
 #!/usr/bin/env python
-"""Matched-filter ORACLE ceiling for the synthetic DiDeMo fixture.
+"""Quality CEILING estimators for the synthetic DiDeMo fixture.
 
-Question this answers (round 3): the spec-scale quality artifact reports
-corpus video R@1 = 0.0312 at 10k videos (312x chance).  Is that number
-limited by the TRAINING RECIPE, or by the FIXTURE itself (feature noise +
-pool-mean crowding)?  The oracle scores every (query, proposal) pair with
-the generative model's own projections:
+Round-3 question: is the spec-scale recall limited by the TRAINING
+RECIPE or by the FIXTURE (feature noise + crowding)?  Round 4's answer
+made the original matched filter obsolete: the trained mean-pool recipe
+(0.478 corpus video R@1) SURPASSED the plain oracle (0.455), proving it
+a strategy bound, not an information bound (DESIGN 35).  Round 5
+(VERDICT r4 #1) rebuilds the ceiling as a LADDER of estimators, each
+tightening the bound:
 
-    score(q, m) = sum_s cos( mean_glove(q) @ A_s ,  pooled_feats_s[m] )
+  plain      cos( mean_glove(q) @ A_s , pooled_feats_s[m] ), summed over
+             streams — the r3 matched filter in FEATURE space.  Weak:
+             the random projection A [300 -> 2048] is a non-orthogonal
+             channel, so feature-space cosine pays A's distortion AND
+             full-rank noise.
+  whiten     plain + corpus-level whitening (center + Sigma^{-1/2} from
+             the empirical covariance of the index rows) — the
+             crowding-aware correction: cosine after whitening is the
+             Mahalanobis matched filter under the CORPUS distribution,
+             not isotropic noise.
+  decode     least-squares decode back to GLOVE space: pooled_feats @
+             pinv(A_s), then cosine against mean_glove(q).  The ML
+             estimator for the fixture's linear-Gaussian channel — only
+             the noise component INSIDE A's 300-dim row space survives
+             the pseudo-inverse (300/2048 of the noise power), so this
+             dominates any feature-space filter.
+  pool_bayes the INFORMATION ceiling: Bayes-optimal retrieval from the
+             query WORDS alone against the true planted content pools
+             (fix.meta["oracle_moments"]) — no features, no noise.
+             Every estimator below it (and every trained model) is
+             bounded by this number; the gap between it and `decode`
+             is what feature noise + the mean-glove channel cost.
 
-The oracle is a STRONG-BASELINE bound, not an information bound: it is
-pair-optimal under isotropic noise but cannot adapt to corpus-scale
-crowding (which moments are confusable), so a discriminatively trained
-tower can exceed it — and does: the mean-pool flagship recipe measured
-0.478 video R@1 vs the oracle's 0.455 (DESIGN 35).  Read a large
-oracle-vs-trained gap as recipe headroom; read trained >= oracle as the
-recipe having learned crowding structure the generative projections
-don't carry.
+Read trained >= an estimator as "the recipe has learned structure that
+estimator's model class doesn't carry"; read the pool_bayes-vs-decode
+gap as the noise floor and decode-vs-trained as recipe headroom.
 
-Run:  python scripts/probe_fixture_ceiling.py --num-videos 10000
-Writes artifacts/fixture_ceiling.json when --out is given.
+Run:  python scripts/probe_fixture_ceiling.py --num-videos 10000 \
+          --variant all --out artifacts/fixture_ceiling2.json
+The r3 artifact (plain only) stays at artifacts/fixture_ceiling.json.
 """
 
 import argparse
@@ -33,6 +52,111 @@ import numpy as np
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, ROOT)
 
+VARIANTS = ("plain", "whiten", "decode", "pool_bayes")
+
+
+def tiou(a, b):  # inclusive clip spans
+    inter = np.maximum(
+        0, np.minimum(a[..., 1], b[..., 1])
+        - np.maximum(a[..., 0], b[..., 0]) + 1)
+    union = (a[..., 1] - a[..., 0] + 1) + (b[..., 1] - b[..., 0] + 1) - inter
+    return inter / union
+
+
+def _metrics(top_rows, spans, P, gt_video, gt_span):
+    top_video = top_rows // P
+    top_span = spans[top_rows % P]                            # [Q, 5, 2]
+    ti = tiou(top_span, gt_span[:, None, :])                  # [Q, 5]
+    hit = top_video == gt_video[:, None]
+    return {
+        "video_R@1": float(np.mean(top_video[:, 0] == gt_video)),
+        "video_R@5": float(np.mean(np.any(hit, axis=1))),
+        "R@1_tiou0.5": float(np.mean(hit[:, 0] & (ti[:, 0] >= 0.5))),
+        "R@1_tiou0.7": float(np.mean(hit[:, 0] & (ti[:, 0] >= 0.7))),
+        "R@5_tiou0.5": float(np.mean(np.any(hit & (ti >= 0.5), axis=1))),
+    }
+
+
+def _score_all(qvecs, indexes, Q, chunk, t0):
+    """Chunked top-5 rows of sum_s qvecs[s] @ indexes[s]."""
+    top_rows = np.zeros((Q, 5), np.int64)
+    streams = list(indexes)
+    for lo in range(0, Q, chunk):
+        hi = min(lo + chunk, Q)
+        s = qvecs[streams[0]][lo:hi] @ indexes[streams[0]]
+        for st in streams[1:]:
+            s += qvecs[st][lo:hi] @ indexes[st]
+        part = np.argpartition(-s, 5, axis=1)[:, :5]
+        order = np.argsort(np.take_along_axis(-s, part, axis=1), axis=1)
+        top_rows[lo:hi] = np.take_along_axis(part, order, axis=1)
+        if lo % (chunk * 16) == 0:
+            print(f"  scored {hi} queries in {time.time()-t0:.0f}s",
+                  flush=True)
+    return top_rows
+
+
+def _normalize(x):
+    return x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+
+
+def pool_bayes(anns, moments, vid_row):
+    """Bayes-optimal video retrieval from query words against the true
+    planted pools: a moment is a candidate iff its pool contains every
+    query word; all candidates are a-posteriori equally likely (queries
+    sample words uniformly without replacement from pools of equal
+    size), so the optimal rule picks the video carrying the most
+    candidate moments, random tie-break.  Returns EXPECTED recalls."""
+    word_to_moments = {}
+    pools = []
+    for mi, (vid, span, pool) in enumerate(moments):
+        pools.append(frozenset(pool))
+        for w in pool:
+            word_to_moments.setdefault(w, []).append(mi)
+    m_vid = np.array([vid_row[m[0]] for m in moments])
+    r1 = r5 = 0.0
+    n_cand = []
+    for a in anns:
+        words = a["description"].split()
+        # intersect the smallest posting list first
+        lists = sorted((word_to_moments.get(w, []) for w in words), key=len)
+        cand = set(lists[0])
+        for l in lists[1:]:
+            cand &= set(l)
+            if not cand:
+                break
+        gt = vid_row[a["video"]]
+        if not cand:                       # cannot happen for planted GT
+            continue
+        votes = {}
+        for mi in cand:
+            v = int(m_vid[mi])
+            votes[v] = votes.get(v, 0) + 1
+        n_cand.append(len(votes))
+        top = max(votes.values())
+        leaders = [v for v, c in votes.items() if c == top]
+        if votes.get(gt, 0) == top:
+            r1 += 1.0 / len(leaders)       # random tie-break among leaders
+            above = 0                      # videos strictly above gt: none
+            ties = len(leaders)
+            r5 += min(1.0, max(0, 5 - above) / ties) if ties > 5 else 1.0
+        else:
+            # gt below the leaders: count videos with strictly more votes
+            gv = votes.get(gt, 0)
+            if gv == 0:
+                continue
+            above = sum(1 for c in votes.values() if c > gv)
+            ties = sum(1 for c in votes.values() if c == gv)
+            if above < 5:
+                r5 += min(1.0, (5 - above) / ties)
+    Q = len(anns)
+    return {
+        "video_R@1": r1 / Q,
+        "video_R@5": r5 / Q,
+        "mean_candidate_videos": float(np.mean(n_cand)) if n_cand else 0.0,
+        "note": "information ceiling: Bayes-optimal from query words vs "
+                "true planted pools; features/noise never enter",
+    }
+
 
 def main():
     ap = argparse.ArgumentParser()
@@ -44,8 +168,15 @@ def main():
     ap.add_argument("--vocab-words", type=int, default=2_000)
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--chunk", type=int, default=256)
+    ap.add_argument("--variant", default="plain",
+                    help="comma list of {%s} or 'all'" % ",".join(VARIANTS))
     ap.add_argument("--out", default="")
     args = ap.parse_args()
+    variants = (list(VARIANTS) if args.variant == "all"
+                else [v.strip() for v in args.variant.split(",")])
+    for v in variants:
+        if v not in VARIANTS:
+            raise SystemExit(f"unknown variant {v!r}")
 
     from vfr_tpu.data.synthetic import make_didemo_fixture
     from vfr_tpu.ops.proposals import didemo_proposals, pooling_matrix
@@ -69,84 +200,86 @@ def main():
     vids = sorted(fix.rgb.ids())
     vid_row = {v: i for i, v in enumerate(vids)}
     V = len(vids)
-
-    # ---- pooled proposal index per stream, normalized rows (cosine
-    # oracle).  ALL ON HOST: the whole oracle is ~9 TFLOP of f32 GEMM,
-    # which OpenBLAS finishes in minutes, while shipping a 4 GB index
-    # through the ~10 MB/s axon relay (DESIGN 18) took >30 min — a probe
-    # is not a serving path, so the chip buys nothing here.
-    def build_index(store):
-        feats = np.stack([store[v] for v in vids])     # [V, 6, D]
-        pooled = np.einsum("pc,vcd->vpd", pool, feats)
-        pooled = pooled.reshape(V * P, -1)
-        n = np.linalg.norm(pooled, axis=1, keepdims=True)
-        return np.ascontiguousarray((pooled / np.maximum(n, 1e-12)).T)
-
-    idx = {
-        "rgb": build_index(fix.rgb),
-        "flow": build_index(fix.flow),
-    }
     proj = fix.meta["oracle_projections"]
-    print(f"index built in {time.time()-t0:.1f}s", flush=True)
+    stores = {"rgb": fix.rgb, "flow": fix.flow}
 
-    # ---- oracle query vectors: mean GloVe of the query words @ A_s
+    # ALL ON HOST: the whole oracle is f32 GEMM OpenBLAS finishes in
+    # minutes, while shipping a 4 GB index through the ~10 MB/s axon
+    # relay (DESIGN 18) took >30 min — a probe is not a serving path.
+    def pooled_rows(store):
+        feats = np.stack([store[v] for v in vids])     # [V, 6, D]
+        out = np.einsum("pc,vcd->vpd", pool, feats).reshape(V * P, -1)
+        return out                                     # [V*P, D] UNnormalized
+
     anns = fix.annotations[-args.eval_queries:]
     stoi = fix.vocab.stoi
     qg = np.stack([
         fix.glove[[stoi[w] for w in a["description"].split()]].mean(axis=0)
         for a in anns
     ]).astype(np.float32)                                     # [Q, glove]
-    qvec = {}
-    for s in ("rgb", "flow"):
-        v = qg @ proj[s]
-        v /= np.maximum(np.linalg.norm(v, axis=1, keepdims=True), 1e-12)
-        qvec[s] = v
     gt_video = np.array([vid_row[a["video"]] for a in anns])
     gt_span = np.array([a["times"][0] for a in anns])         # [Q, 2]
-
-    def score_chunk(q_rgb, q_flow):
-        s = q_rgb @ idx["rgb"] + q_flow @ idx["flow"]         # [c, V*P]
-        part = np.argpartition(-s, 5, axis=1)[:, :5]
-        order = np.argsort(np.take_along_axis(-s, part, axis=1), axis=1)
-        return np.take_along_axis(part, order, axis=1)
-
     Q = len(anns)
-    top_rows = np.zeros((Q, 5), np.int64)
-    for lo in range(0, Q, args.chunk):
-        hi = min(lo + args.chunk, Q)
-        top_rows[lo:hi] = score_chunk(qvec["rgb"][lo:hi], qvec["flow"][lo:hi])
-        if lo % (args.chunk * 8) == 0:
-            print(f"  scored {hi}/{Q} in {time.time()-t0:.0f}s", flush=True)
-    print(f"scored {Q} queries in {time.time()-t0:.1f}s", flush=True)
 
-    top_video = top_rows // P
-    top_span = spans[top_rows % P]                            # [Q, 5, 2]
-
-    def tiou(a, b):  # inclusive clip spans
-        inter = np.maximum(
-            0, np.minimum(a[..., 1], b[..., 1])
-            - np.maximum(a[..., 0], b[..., 0]) + 1)
-        union = (a[..., 1] - a[..., 0] + 1) + (b[..., 1] - b[..., 0] + 1) - inter
-        return inter / union
-
-    vr1 = float(np.mean(top_video[:, 0] == gt_video))
-    vr5 = float(np.mean(np.any(top_video == gt_video[:, None], axis=1)))
-    ti = tiou(top_span, gt_span[:, None, :])                  # [Q, 5]
-    hit = top_video == gt_video[:, None]
     out = {
         "num_videos": args.num_videos,
         "num_index_rows": V * P,
         "eval_queries": Q,
         "noise": args.noise,
         "vocab_words": args.vocab_words,
-        "oracle_video_R@1": vr1,
-        "oracle_video_R@5": vr5,
-        "oracle_R@1_tiou0.5": float(np.mean(hit[:, 0] & (ti[:, 0] >= 0.5))),
-        "oracle_R@1_tiou0.7": float(np.mean(hit[:, 0] & (ti[:, 0] >= 0.7))),
-        "oracle_R@5_tiou0.5": float(np.mean(np.any(hit & (ti >= 0.5), axis=1))),
         "chance_video_R@1": 1.0 / V,
-        "wall_s": round(time.time() - t0, 1),
+        "variants": {},
     }
+
+    raw = {s: pooled_rows(stores[s]) for s in stores} if (
+        set(variants) & {"plain", "whiten", "decode"}) else {}
+    if raw:
+        print(f"pooled rows built in {time.time()-t0:.1f}s", flush=True)
+
+    for variant in variants:
+        tv = time.time()
+        if variant == "pool_bayes":
+            m = pool_bayes(anns, fix.meta["oracle_moments"], vid_row)
+        else:
+            if variant == "plain":
+                idx = {s: _normalize(raw[s]).T.copy() for s in raw}
+                qv = {s: _normalize(qg @ proj[s]) for s in raw}
+            elif variant == "decode":
+                # least-squares channel inversion: only the in-row-space
+                # noise (glove_dim/feature_dim of the power) survives
+                qn = _normalize(qg)
+                idx, qv = {}, {}
+                for s in raw:
+                    pinv = np.linalg.pinv(proj[s]).astype(np.float32)
+                    idx[s] = _normalize(raw[s] @ pinv).T.copy()
+                    qv[s] = qn
+            elif variant == "whiten":
+                idx, qv = {}, {}
+                for s in raw:
+                    X = raw[s]
+                    mu = X.mean(axis=0)
+                    Xc = X - mu
+                    # empirical covariance of the CORPUS rows — crowding
+                    # (which directions are over-populated) is exactly
+                    # what Sigma captures and the whitening equalizes
+                    cov = (Xc.T @ Xc) / len(Xc)
+                    lam, U = np.linalg.eigh(cov)
+                    lam = np.maximum(lam, 1e-4 * lam.max())
+                    W = (U * (lam ** -0.5)) @ U.T
+                    idx[s] = _normalize(Xc @ W).T.copy()
+                    qv[s] = _normalize(((qg @ proj[s]) - mu) @ W)
+            top_rows = _score_all(qv, idx, Q, args.chunk, tv)
+            m = _metrics(top_rows, spans, P, gt_video, gt_span)
+        m["wall_s"] = round(time.time() - tv, 1)
+        out["variants"][variant] = m
+        print(f"[{variant}] {json.dumps(m)}", flush=True)
+
+    # back-compat top-level keys for the r3 artifact's consumers
+    if "plain" in out["variants"]:
+        for k, v in out["variants"]["plain"].items():
+            if k.startswith(("video_", "R@")):
+                out[f"oracle_{k}"] = v
+    out["wall_s"] = round(time.time() - t0, 1)
     print(json.dumps(out, indent=2))
     if args.out:
         os.makedirs(os.path.dirname(args.out), exist_ok=True)

@@ -127,6 +127,10 @@ def main():
                     choices=("", "sqeuclidean", "euclidean", "cosine"),
                     help="ModelConfig.distance override; the committed "
                          "artifact trains cosine ('' = preset default)")
+    ap.add_argument("--noise", type=float, default=0.25,
+                    help="fixture feature-noise sweep knob (VERDICT r4 #1: "
+                         "locate the noise-imposed recall asymptote; the "
+                         "committed artifact uses 0.25)")
     args = ap.parse_args()
     OUT = args.out
     num_videos = args.num_videos
@@ -180,7 +184,7 @@ def main():
             data_dir=os.path.join(OUT, "no_real_data"),   # -> synthetic
             synthetic_num_videos=num_videos,
             synthetic_num_queries=num_queries,
-            synthetic_noise=0.25,
+            synthetic_noise=args.noise,
             synthetic_vocab_words=vocab_words,
             bank_dtype=args.bank_dtype,
             **({"synthetic_seed": args.seed} if args.seed >= 0 else {}),

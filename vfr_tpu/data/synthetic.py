@@ -126,6 +126,12 @@ def make_didemo_fixture(
             # decoder could do given the generative model) — never consumed
             # by the framework itself.
             "oracle_projections": {"rgb": A_rgb, "flow": A_flow},
+            # The planted (video, span, content-pool) triples behind every
+            # moment — lets probes compute the fixture's INFORMATION
+            # ceiling (Bayes-optimal retrieval from the query words alone,
+            # independent of features/noise; scripts/probe_fixture_ceiling
+            # --variant pool_bayes).  Never consumed by the framework.
+            "oracle_moments": moments,
         },
     )
 
