@@ -336,6 +336,53 @@ def main():
     sec_fs_didemo = flagship_step_seconds("didemo_flagship")
     sec_fs_charades = flagship_step_seconds("charades_flagship")
 
+    # --- FLAGSHIP serving program (VERDICT r4 missing #3): the retriever
+    # a user of the committed quality artifacts actually deploys — cosine
+    # distance via L2-normalized index rows (eval/corpus.py finalize),
+    # MEAN query pooling (materializes all T hidden states through the
+    # serving kernel), bf16-stored index — measured at the same 210k rows
+    # as the headline.  Two rows: the preset as shipped (f32 compute:
+    # the score-stage carrier stays f32 -> 2x the HBM bytes of the bf16
+    # headline program) and the recommended bf16-compute serving config
+    # (quality parity validated end-to-end at spec scale, DESIGN 20 /
+    # artifacts/quality_large/final_metrics_bf16.json).
+    def flagship_serving_seconds(compute_dtype):
+        import dataclasses as _dcs
+
+        fcfg = get_preset("didemo_flagship")
+        if compute_dtype:
+            fcfg = _dcs.replace(fcfg, model=_dcs.replace(
+                fcfg.model, compute_dtype=compute_dtype))
+        fmodel = build_model(fcfg)
+        fparams = init_model_params(jax.random.PRNGKey(3), fmodel, glove,
+                                    FEAT)
+        # cosine index: normalized rows, bf16-quantized BEFORE |m|^2 so the
+        # stored rows and the norm agree (same order as corpus.finalize)
+        rows = m32 / (np.linalg.norm(m32, axis=-1, keepdims=True) + 1e-8)
+        rows16 = np.asarray(jnp.asarray(rows, jnp.bfloat16)
+                            .astype(jnp.float32))
+        fidx = MomentIndex(
+            m=jnp.asarray(rows16, jnp.bfloat16),
+            m_sq=jnp.asarray((rows16 ** 2).sum(-1)),
+            video_row=np.repeat(np.arange(V, dtype=np.int32), P),
+            prop_idx=np.tile(np.arange(P, dtype=np.int32), V),
+            spans_sec=np.tile(
+                np.stack([np.arange(P), np.arange(P) + 1], 1)
+                .astype(np.float32), (V, 1)),
+            weights=weights,
+        )
+        retr = make_score_topk(fmodel, fidx, K, topk_method="approx",
+                               approx_recall=cfg.eval.approx_recall)
+
+        def body(i, tokens):           # binds the FLAGSHIP params
+            dists, rows = retr(fparams, perturb(i, tokens), lengths)
+            return dists
+
+        return device_seconds_per_iter(body, base_tokens)
+
+    sec_fserve_f32 = flagship_serving_seconds(None)
+    sec_fserve_bf16 = flagship_serving_seconds("bfloat16")
+
     # serving config: bf16 index (recall-parity-tested vs f32 in
     # tests/test_corpus.py; f32-stored runs the identical program after
     # the loop-invariant carrier conversion — see the note above)
@@ -445,6 +492,21 @@ def main():
         "train_queries_per_sec": round(B_train / sec_train, 1),
         "train_config": "didemo_fusion fwd+bwd+adam, B=64, fused LSTM "
                         "(DESIGN 14b expects ~0.46 ms)",
+        "flagship_serving": {
+            "batch_latency_ms_preset_f32_compute": round(
+                1e3 * sec_fserve_f32, 3),
+            "batch_latency_ms_bf16_compute": round(
+                1e3 * sec_fserve_bf16, 3),
+            "per_query_rate_bf16_compute": round(N / sec_fserve_bf16, 1),
+            "config": "didemo_flagship retriever: cosine fused score over "
+                      "L2-normalized bf16 index rows, MEAN query pooling, "
+                      "approx top-k at 210k rows — the program the "
+                      "committed quality artifacts imply (VERDICT r4 #3). "
+                      "f32-compute row = the preset verbatim (score "
+                      "carrier stays f32: 2x HBM bytes); bf16-compute row "
+                      "= the recommended serving config (quality parity "
+                      "gated at spec scale, DESIGN 20)",
+        },
         "flagship_train": {
             "didemo_flagship_step_ms": round(1e3 * sec_fs_didemo, 4),
             "didemo_flagship_queries_per_sec": round(
