@@ -132,3 +132,23 @@ def test_save_coarse_interrupted_keeps_previous(tmp_path, monkeypatch):
     again = load_coarse(path, index)
     np.testing.assert_array_equal(np.asarray(good.m_low, np.float32),
                                   np.asarray(again.m_low, np.float32))
+
+
+def test_tree_fingerprint_pins_values_shapes_dtypes():
+    """The quality artifacts pin their serving weights by this hash
+    instead of committing the ~100 MB checkpoint (VERDICT r4 #7): it must
+    be deterministic and move on any value/shape/dtype change."""
+    import numpy as np
+
+    from vfr_tpu.utils.io import tree_fingerprint
+
+    tree = {"a": np.arange(6, dtype=np.float32).reshape(2, 3),
+            "b": {"c": np.ones(4, np.int32)}}
+    fp = tree_fingerprint(tree)
+    assert fp == tree_fingerprint(tree)                    # deterministic
+    bumped = {"a": tree["a"] + 1e-3, "b": tree["b"]}
+    assert tree_fingerprint(bumped) != fp                  # value-sensitive
+    reshaped = {"a": tree["a"].reshape(3, 2), "b": tree["b"]}
+    assert tree_fingerprint(reshaped) != fp                # shape-sensitive
+    recast = {"a": tree["a"], "b": {"c": np.ones(4, np.float32)}}
+    assert tree_fingerprint(recast) != fp                  # dtype-sensitive
