@@ -25,8 +25,8 @@ _EXTRACT = (
 
 
 def run_points(points: dict, names, out_path: str, workdir: str,
-               num_videos: int) -> dict:
-    """points: name -> extra quality_run_large.py flags.  Merges results
+               num_videos: int, script: str = "quality_run_large.py") -> dict:
+    """points: name -> extra quality-run flags.  Merges results
     into ``out_path`` after EVERY point (tmp + os.replace), so a crash
     mid-sweep keeps what finished."""
     results = {}
@@ -40,7 +40,7 @@ def run_points(points: dict, names, out_path: str, workdir: str,
         t0 = time.perf_counter()
         print(f"[sweep] {name} ...", file=sys.stderr, flush=True)
         cmd = [sys.executable,
-               os.path.join(ROOT, "scripts", "quality_run_large.py"),
+               os.path.join(ROOT, "scripts", script),
                "--out", out_dir,
                "--num-videos", str(num_videos), *flags]
         rc = subprocess.run(cmd, cwd=ROOT).returncode
@@ -67,7 +67,9 @@ def run_points(points: dict, names, out_path: str, workdir: str,
     return results
 
 
-def sweep_main(points: dict, default_out: str, default_workdir: str):
+def sweep_main(points: dict, default_out: str, default_workdir: str,
+               script: str = "quality_run_large.py",
+               default_num_videos: int = 10_000):
     import argparse
 
     ap = argparse.ArgumentParser()
@@ -75,10 +77,10 @@ def sweep_main(points: dict, default_out: str, default_workdir: str):
                     help="comma-separated subset of point names (default all)")
     ap.add_argument("--out", default=default_out)
     ap.add_argument("--workdir", default=default_workdir)
-    ap.add_argument("--num-videos", type=int, default=10_000)
+    ap.add_argument("--num-videos", type=int, default=default_num_videos)
     args = ap.parse_args()
     names = [n for n in (args.points.split(",") if args.points else points)
              if n]
     results = run_points(points, names, args.out, args.workdir,
-                         args.num_videos)
+                         args.num_videos, script=script)
     print(json.dumps(results, indent=2, sort_keys=True))

@@ -51,9 +51,16 @@ NUM_EPOCHS = int(os.environ.get("QRCL_NUM_EPOCHS", 20))
 
 
 def main():
+    global NUM_VIDEOS
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", default=OUT,
                     help="sweep runs must not clobber the committed artifact")
+    ap.add_argument("--num-videos", type=int, default=NUM_VIDEOS,
+                    help="fixture corpus size (committed artifact: 2,000 = "
+                         "1.5x the real Charades-STA test corpus)")
+    ap.add_argument("--seed", type=int, default=-1,
+                    help="fixture seed override (-1 = preset default); "
+                         "seed twins measure jitter at an operating point")
     # objective knobs (mirror scripts/quality_run_large.py).  Committed-
     # artifact defaults = the DESIGN 27/28 recipe: infonce over COSINE
     # distance at tau 0.02 / lambda_inter 1.0 lifts corpus video R@1
@@ -81,6 +88,7 @@ def main():
                          "artifact trains cosine ('' = preset default)")
     args = ap.parse_args()
     out_dir = args.out
+    NUM_VIDEOS = args.num_videos
 
     from vfr_tpu.utils.compile_cache import enable_compile_cache
 
@@ -123,6 +131,7 @@ def main():
             synthetic_noise=0.25,
             synthetic_vocab_words=VOCAB_WORDS,
             synthetic_moments_per_video=2,
+            **({"synthetic_seed": args.seed} if args.seed >= 0 else {}),
         ),
         train=dataclasses.replace(
             base.train,

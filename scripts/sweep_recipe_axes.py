@@ -81,6 +81,13 @@ POINTS = {
     # or noise?  same point, different seed
     "meanpool_tau018_s1": ["--query-pool", "mean", "--temperature", "0.018",
                            "--seed", "1"],
+    # VERDICT r4 #6: the committed operating point rested on seed 0 with a
+    # single seed-1 twin (n=2); seeds 2-3 make the jitter estimate and the
+    # regression-gate thresholds n>=4-justified (gate on the min)
+    "meanpool_tau018_s2": ["--query-pool", "mean", "--temperature", "0.018",
+                           "--seed", "2"],
+    "meanpool_tau018_s3": ["--query-pool", "mean", "--temperature", "0.018",
+                           "--seed", "3"],
     # the two axes DESIGN 34/35 flagged next, both probed AT the new
     # operating point (mean pool, tau .018):
     # learned attention pool — zero-init == masked mean, so any delta is
