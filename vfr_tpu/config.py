@@ -487,14 +487,18 @@ _register(ExperimentConfig(
         max_windows=64,
         use_flow=False,
     ),
+    # query_pool stays "last": the DiDeMo mean-pool lever was swept here
+    # across the re-tempered tau band (DESIGN 37) — its peak (0.9215 at
+    # tau .018) lands INSIDE the last-pool regeneration band, so the
+    # simpler pool keeps the preset
     model=ModelConfig(stream_weights=(1.0,), use_tef=True,
                       distance="cosine"),
     # the batch/tau operating point is DATASET-specific: Charades' 14k
     # training queries give only ~109 steps/epoch at B=128 and its 2k-video
     # corpus is near-saturated — measured (DESIGN 33): B=128/tau.03 0.8715,
     # B=128/tau.02 worse than committed too; B=64/tau.02 stays the peak
-    # (corpus video R@1 0.91-0.92 across regenerations; the committed
-    # artifact — the number the gate holds — records 0.91)
+    # (corpus video R@1 0.91-0.92 across regenerations, 0.9065 at seed 1;
+    # the committed artifact — the number the gate holds — records 0.91)
     train=_flagship_train(margin=0.2, batch_size=64, temperature=0.02),
     eval=EvalConfig(tiou_thresholds=(0.5, 0.7), eval_batch_size=512,
                     corpus_query_batch=256),
