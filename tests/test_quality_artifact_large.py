@@ -13,11 +13,15 @@ moment index — the corpus scale BASELINE.json:10-11 names, not the
 no-EMA cosine-infonce: 0.114; r2-era triplet: 0.0312), video R@5 ~0.64,
 localization R@1@0.5 ~0.98 / mIoU ~0.95.
 
-Thresholds sit at roughly half the committed numbers (and >=100x chance
-for the corpus metrics) so rerun jitter passes while a mining/loss/
-retrieval regression fails.  Corpus moment retrieval at this scale is a
+Thresholds are justified by an n=4 seed ladder at the committed
+operating point (DESIGN 38; artifacts/sweep_recipe_axes.json
+meanpool_tau018{,_s1,_s2,_s3}): corpus video R@1 0.4783 / 0.4679 /
+0.4762 / 0.4515 — mean 0.468, min 0.4515, sample std 0.012.  Gates sit
+at seed-min minus >=0.05 margin, so any-seed retrain jitter passes
+while losing the mean-pool lever (last-pool recipe: 0.258) or the EMA
+(+22%) fails loudly.  Corpus moment retrieval at this scale is a
 low-absolute-recall task family (CAL-era literature reports single-digit
-R@1 on real 10k-video corpora); the gate checks multiples of chance.
+R@1 on real 10k-video corpora); chance video R@1 is 1e-4.
 """
 
 import json
@@ -47,10 +51,11 @@ def test_corpus_retrieval_far_above_chance_at_scale():
     out = _load()
     m = out["corpus"]
     chance_v1 = out["chance_video_R@1"]               # 1e-4 at 10k videos
-    assert m["corpus_video_R@1"] >= max(100 * chance_v1, 0.24), (
+    # thresholds = n=4 seed-min (0.4515/0.6146/0.4487, DESIGN 38) - margin
+    assert m["corpus_video_R@1"] >= max(100 * chance_v1, 0.40), (
         m, chance_v1)
-    assert m["corpus_video_R@5"] >= 0.32, m
-    assert m["corpus_R@1_tiou0.5"] >= 0.23, m
+    assert m["corpus_video_R@5"] >= 0.55, m
+    assert m["corpus_R@1_tiou0.5"] >= 0.40, m
     # internal consistency
     assert m["corpus_video_R@5"] >= m["corpus_video_R@1"]
     assert m["corpus_R@5_tiou0.5"] <= m["corpus_video_R@5"]

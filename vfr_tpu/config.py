@@ -469,8 +469,9 @@ _register(ExperimentConfig(
     data=_didemo_data(use_flow=True),
     # query_pool="mean": the length-masked mean over LSTM states beats
     # the final-state summary by +85% corpus video R@1 (0.258 -> 0.478,
-    # DESIGN 35); learned attention pooling and symmetric InfoNCE both
-    # measured within seed jitter of it — the simple mean is the recipe
+    # DESIGN 35; across n=4 seeds 0.468 +/- 0.012, DESIGN 38); learned
+    # attention pooling and symmetric InfoNCE both measured within seed
+    # jitter of it — the simple mean is the recipe
     model=ModelConfig(stream_weights=(0.5, 0.5), use_tef=True,
                       distance="cosine", query_pool="mean"),
     train=_flagship_train(),
