@@ -230,6 +230,31 @@ def main():
         "chance_video_R@1": 1.0 / V,
         "variants": {},
     }
+    # crash-safe resume: a prior run's partial artifact (same fixture
+    # geometry) seeds the variant table, and each variant is written out
+    # the moment it finishes — a killed session never loses >1 variant
+    if args.out and os.path.exists(args.out):
+        try:
+            with open(args.out) as f:
+                prev = json.load(f)
+        except (OSError, ValueError):
+            prev = {}
+        if all(prev.get(k) == out[k] for k in
+               ("num_videos", "eval_queries", "noise", "vocab_words")):
+            out["variants"].update(prev.get("variants", {}))
+            done = [v for v in variants if v in out["variants"]]
+            variants = [v for v in variants if v not in out["variants"]]
+            if done:
+                print(f"resuming: {done} already in {args.out}", flush=True)
+
+    def _flush():
+        if not args.out:
+            return
+        os.makedirs(os.path.dirname(args.out), exist_ok=True)
+        tmp = args.out + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(out, f, indent=2)
+        os.replace(tmp, args.out)
 
     raw = {s: pooled_rows(stores[s]) for s in stores} if (
         set(variants) & {"plain", "whiten", "decode"}) else {}
@@ -273,6 +298,7 @@ def main():
         m["wall_s"] = round(time.time() - tv, 1)
         out["variants"][variant] = m
         print(f"[{variant}] {json.dumps(m)}", flush=True)
+        _flush()
 
     # back-compat top-level keys for the r3 artifact's consumers
     if "plain" in out["variants"]:
@@ -281,10 +307,7 @@ def main():
                 out[f"oracle_{k}"] = v
     out["wall_s"] = round(time.time() - t0, 1)
     print(json.dumps(out, indent=2))
-    if args.out:
-        os.makedirs(os.path.dirname(args.out), exist_ok=True)
-        with open(args.out, "w") as f:
-            json.dump(out, f, indent=2)
+    _flush()
 
 
 if __name__ == "__main__":
