@@ -216,9 +216,12 @@ INFONCE_TAU_BANDS: Dict[Tuple[str, str], Dict[str, Any]] = {
         "design": "27/28/32/33",
     },
     ("cosine", "mean"): {
+        # B=128 from the DiDeMo grid (DESIGN 35); B=64 from the Charades
+        # mean-pool port (DESIGN 37: .018/.020 tied at the peak, decay by
+        # .012) — the band itself transfers across both fixtures
         "band": (0.016, 0.028),
-        "peak_by_batch": {128: 0.018},
-        "design": "35",
+        "peak_by_batch": {64: 0.02, 128: 0.018},
+        "design": "35/37",
     },
     ("cosine", "attn"): {
         # attention pooling measured within seed jitter of the mean
