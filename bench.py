@@ -92,17 +92,25 @@ def main():
     weights = jnp.asarray(cfg.model.stream_weights, jnp.float32)
     compute_dtype = model.compute_dtype
 
+    # bf16 quantization happens ON HOST (ml_dtypes round-to-nearest-even ==
+    # the XLA convert): the old jnp round-trip shipped the full f32 matrix
+    # up AND the converted copy back down through the ~10 MB/s relay
+    # (DESIGN 18) — ~430 MB of transfer per index build for zero work
+    import ml_dtypes as _mld
+
+    def _host_bf16(x):
+        return x.astype(_mld.bfloat16).astype(np.float32)
+
     def make_index(index_dtype):
         if index_dtype == "bfloat16":
-            flat = np.asarray(
-                jnp.asarray(m32, jnp.bfloat16).astype(jnp.float32)
-            )
-            store = jnp.bfloat16
+            flat = _host_bf16(m32)
+            store = _mld.bfloat16            # numpy-level dtype: the cast
+                                             # below stays on host
         else:
-            flat, store = m32, jnp.float32
+            flat, store = m32, np.float32
         m_sq = (flat.astype(np.float64) ** 2).sum(-1).astype(np.float32)
         return MomentIndex(
-            m=jnp.asarray(flat, store),
+            m=jnp.asarray(flat.astype(store)),
             m_sq=jnp.asarray(m_sq),
             video_row=np.repeat(np.arange(V, dtype=np.int32), P),
             prop_idx=np.tile(np.arange(P, dtype=np.int32), V),
@@ -346,6 +354,24 @@ def main():
     # headline program) and the recommended bf16-compute serving config
     # (quality parity validated end-to-end at spec scale, DESIGN 20 /
     # artifacts/quality_large/final_metrics_bf16.json).
+    # cosine index: normalized rows, bf16-quantized (ON HOST — see
+    # _host_bf16 above) BEFORE |m|^2 so the stored rows and the norm agree
+    # (same order as corpus.finalize).  Built ONCE: the f32- and
+    # bf16-compute variants score the IDENTICAL stored index, so sharing
+    # it halves the relay upload.
+    _frows = m32 / (np.linalg.norm(m32, axis=-1, keepdims=True) + 1e-8)
+    _frows16 = _host_bf16(_frows)
+    fidx = MomentIndex(
+        m=jnp.asarray(_frows16.astype(_mld.bfloat16)),
+        m_sq=jnp.asarray((_frows16 ** 2).sum(-1)),
+        video_row=np.repeat(np.arange(V, dtype=np.int32), P),
+        prop_idx=np.tile(np.arange(P, dtype=np.int32), V),
+        spans_sec=np.tile(
+            np.stack([np.arange(P), np.arange(P) + 1], 1)
+            .astype(np.float32), (V, 1)),
+        weights=weights,
+    )
+
     def flagship_serving_seconds(compute_dtype):
         import dataclasses as _dcs
 
@@ -356,21 +382,6 @@ def main():
         fmodel = build_model(fcfg)
         fparams = init_model_params(jax.random.PRNGKey(3), fmodel, glove,
                                     FEAT)
-        # cosine index: normalized rows, bf16-quantized BEFORE |m|^2 so the
-        # stored rows and the norm agree (same order as corpus.finalize)
-        rows = m32 / (np.linalg.norm(m32, axis=-1, keepdims=True) + 1e-8)
-        rows16 = np.asarray(jnp.asarray(rows, jnp.bfloat16)
-                            .astype(jnp.float32))
-        fidx = MomentIndex(
-            m=jnp.asarray(rows16, jnp.bfloat16),
-            m_sq=jnp.asarray((rows16 ** 2).sum(-1)),
-            video_row=np.repeat(np.arange(V, dtype=np.int32), P),
-            prop_idx=np.tile(np.arange(P, dtype=np.int32), V),
-            spans_sec=np.tile(
-                np.stack([np.arange(P), np.arange(P) + 1], 1)
-                .astype(np.float32), (V, 1)),
-            weights=weights,
-        )
         retr = make_score_topk(fmodel, fidx, K, topk_method="approx",
                                approx_recall=cfg.eval.approx_recall)
 

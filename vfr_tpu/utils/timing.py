@@ -64,9 +64,23 @@ def device_seconds_per_iter(
         return jax.lax.fori_loop(0, n, step, jnp.float32(0))
 
     def wall(salt, n):
-        t0 = time.perf_counter()
-        float(run(x, jnp.float32(salt), jnp.int32(n), *operands))
-        return time.perf_counter() - t0
+        # The loopback relay occasionally drops the remote_compile response
+        # mid-read ("response body closed before all bytes were read") even
+        # though the compile server finishes and caches the executable —
+        # observed twice in one bench session, each retry advancing past the
+        # previous drop point.  Retry the dispatch: a cache hit makes the
+        # retry cheap, and a genuine error keeps failing and propagates.
+        for attempt in range(4):
+            t0 = time.perf_counter()
+            try:
+                float(run(x, jnp.float32(salt), jnp.int32(n), *operands))
+                return time.perf_counter() - t0
+            except jax.errors.JaxRuntimeError as e:
+                transient = ("response body closed" in str(e)
+                             or "remote_compile" in str(e))
+                if not transient or attempt == 3:
+                    raise
+                time.sleep(2.0 * (attempt + 1))
 
     wall(0.125, base_iters)          # compile + warm
     wall(0.25, base_iters + 1)
