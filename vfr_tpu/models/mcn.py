@@ -30,6 +30,7 @@ from vfr_tpu.ops.lstm import (
     init_lstm_params,
     lstm_forward,
     lstm_forward_fused,
+    masked_mean_pool,
 )
 
 
@@ -171,13 +172,17 @@ def _query_hidden(
             inference and rnn_kernel == "pallas"
             and model.cfg.use_pallas != "never"
         )
+    # With the mean pool the Pallas kernels fuse the pooling INTO the
+    # recurrence (live-step sum in VMEM scratch): the [B, T, H] hidden-state
+    # tensor never touches HBM and `hs` comes back already pooled [B, H].
+    kernel_pool = "mean" if model.cfg.query_pool == "mean" else "none"
     if model.cfg.rnn_cell == "gru":
         if want_kernel:
             from vfr_tpu.ops.pallas.gru_kernel import pallas_gru
 
             _log_pallas_rnn_once("GRU")
             h_last, hs = pallas_gru(params["lstm"], x, lengths,
-                                    model.compute_dtype)
+                                    model.compute_dtype, pool=kernel_pool)
         elif not inference and model.cfg.train_rnn_impl == "fused":
             h_last, hs = gru_forward_fused(params["lstm"], x, lengths,
                                            model.compute_dtype)
@@ -189,7 +194,7 @@ def _query_hidden(
 
         _log_pallas_rnn_once("LSTM")
         h_last, hs = pallas_lstm(params["lstm"], x, lengths,
-                                 model.compute_dtype)
+                                 model.compute_dtype, pool=kernel_pool)
     elif not inference and model.cfg.train_rnn_impl == "fused":
         # custom-VJP fused layout: hoisted input GEMM + sequence-sized
         # weight-gradient GEMMs (grad-parity-tested vs scan + torch)
@@ -199,13 +204,15 @@ def _query_hidden(
         h_last, hs = lstm_forward(params["lstm"], x, lengths,
                                   model.compute_dtype)
     if model.cfg.query_pool == "mean":
-        # length-masked mean over hidden states.  hs at t >= length holds
-        # the FROZEN carry (the trunk keeps h at each sequence's last live
-        # value), so the mask is required for correctness, not hygiene.
-        T = hs.shape[1]
-        mask = (jnp.arange(T)[None, :] < lengths[:, None]).astype(hs.dtype)
-        h = jnp.sum(hs * mask[:, :, None], axis=1) / jnp.maximum(
-            lengths[:, None].astype(hs.dtype), 1.0)
+        if want_kernel:
+            # fused-pool kernel already returned the masked mean [B, H]
+            h = hs
+        else:
+            # length-masked mean over hidden states.  hs at t >= length
+            # holds the FROZEN carry (the trunk keeps h at each sequence's
+            # last live value), so the mask is required for correctness,
+            # not hygiene.
+            h = masked_mean_pool(hs, lengths)
     elif model.cfg.query_pool == "attn":
         # learned attention over hidden states: one scoring vector, masked
         # softmax over live timesteps.  ZERO-initialized, so step 0 is

@@ -433,3 +433,18 @@ def lstm_forward(
         hs = jnp.swapaxes(h_seq, 0, 1)
         h_last = h_fin
     return h_last, hs
+
+
+def masked_mean_pool(hs: jnp.ndarray, lengths: jnp.ndarray) -> jnp.ndarray:
+    """Length-masked mean over hidden states: [B, T, H] -> [B, H].
+
+    hs at t >= length holds the FROZEN carry (the trunks keep h at each
+    sequence's last live value), so the mask is required for correctness,
+    not hygiene.  Single definition shared by the model's pooling dispatch
+    (models/mcn.py) and the Pallas kernels' scan fallback — the fused
+    in-kernel accumulator (ops/pallas/*_kernel.py pool="mean") is
+    parity-tested against this."""
+    T = hs.shape[1]
+    mask = (jnp.arange(T)[None, :] < lengths[:, None]).astype(hs.dtype)
+    return jnp.sum(hs * mask[:, :, None], axis=1) / jnp.maximum(
+        lengths[:, None].astype(hs.dtype), 1.0)

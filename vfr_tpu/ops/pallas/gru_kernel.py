@@ -25,16 +25,12 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _kernel(x_ref, len_ref, wih_ref, whh_ref, bih_ref, bhh_ref, hlast_ref,
-            hs_ref, h_scr, *, compute_dtype):
-    t = pl.program_id(0)
-    T = pl.num_programs(0)
+def _step(x_ref, len_ref, wih_ref, whh_ref, bih_ref, bhh_ref, h_scr, t):
+    """One GRU step (torch (r, z, n) gate order, separate biases so the
+    n-gate keeps ``r * (W_hn h + b_hn)`` apart); frozen-carry update of the
+    VMEM scratch state.  Returns ``live`` for the pooled accumulator.
+    Shared by the hs-emitting and the fused-pool kernel bodies."""
     H = h_scr.shape[1]
-
-    @pl.when(t == 0)
-    def _():
-        h_scr[:] = jnp.zeros_like(h_scr)
-
     x_t = x_ref[0]                                         # [B, E] (time-major)
     w_dt = wih_ref.dtype                                   # weights as stored
     gi = (
@@ -60,11 +56,47 @@ def _kernel(x_ref, len_ref, wih_ref, whh_ref, bih_ref, bhh_ref, hlast_ref,
 
     live = t < len_ref[:]                                  # [B, 1]
     h_scr[:] = jnp.where(live, h_new, h_scr[:])
+    return live
+
+
+def _kernel(x_ref, len_ref, wih_ref, whh_ref, bih_ref, bhh_ref, hlast_ref,
+            hs_ref, h_scr, *, compute_dtype):
+    t = pl.program_id(0)
+    T = pl.num_programs(0)
+
+    @pl.when(t == 0)
+    def _():
+        h_scr[:] = jnp.zeros_like(h_scr)
+
+    _step(x_ref, len_ref, wih_ref, whh_ref, bih_ref, bhh_ref, h_scr, t)
     hs_ref[0] = h_scr[:]
 
     @pl.when(t == T - 1)
     def _():
         hlast_ref[:] = h_scr[:]
+
+
+def _kernel_pooled(x_ref, len_ref, wih_ref, whh_ref, bih_ref, bhh_ref,
+                   hlast_ref, pooled_ref, h_scr, sum_scr, *, compute_dtype):
+    """Fused length-masked mean pooling (see lstm_kernel._kernel_pooled):
+    live-step sum in VMEM scratch, pooled [B, H] emitted directly — the
+    [B, T, H] hidden-state tensor never touches HBM."""
+    t = pl.program_id(0)
+    T = pl.num_programs(0)
+
+    @pl.when(t == 0)
+    def _():
+        h_scr[:] = jnp.zeros_like(h_scr)
+        sum_scr[:] = jnp.zeros_like(sum_scr)
+
+    live = _step(x_ref, len_ref, wih_ref, whh_ref, bih_ref, bhh_ref, h_scr, t)
+    sum_scr[:] = sum_scr[:] + jnp.where(live, h_scr[:], 0.0)
+
+    @pl.when(t == T - 1)
+    def _():
+        hlast_ref[:] = h_scr[:]
+        pooled_ref[:] = sum_scr[:] / jnp.maximum(
+            len_ref[:].astype(jnp.float32), 1.0)
 
 
 def pallas_gru_fits_vmem(
@@ -94,7 +126,10 @@ def _pallas_gru_layer(
     compute_dtype,
     interpret: bool,
     weights_dtype=jnp.bfloat16,
+    pool: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Returns (h_last [B, H], hs [B, T, H]) — or, with ``pool=True``, the
+    fused-pool kernel's (h_last [B, H], pooled [B, H])."""
     B, T, E = x.shape
     H = w_hh.shape[0]
     # Weights cast once, VMEM-resident in that dtype (bf16 default to fit
@@ -102,8 +137,22 @@ def _pallas_gru_layer(
     w_ih = w_ih.astype(weights_dtype)
     w_hh = w_hh.astype(weights_dtype)
     x_tm = jnp.swapaxes(x, 0, 1)                 # [T, B, E] time-major
-    h_last, hs_tm = pl.pallas_call(
-        functools.partial(_kernel, compute_dtype=compute_dtype),
+    if pool:
+        body = functools.partial(_kernel_pooled, compute_dtype=compute_dtype)
+        second_spec = pl.BlockSpec((B, H), lambda t: (0, 0),
+                                   memory_space=pltpu.VMEM)
+        second_shape = jax.ShapeDtypeStruct((B, H), jnp.float32)
+        scratch = [pltpu.VMEM((B, H), jnp.float32) for _ in range(2)]
+        hs_bytes = 0                         # pooled output is T-independent
+    else:
+        body = functools.partial(_kernel, compute_dtype=compute_dtype)
+        second_spec = pl.BlockSpec((1, B, H), lambda t: (t, 0, 0),
+                                   memory_space=pltpu.VMEM)
+        second_shape = jax.ShapeDtypeStruct((T, B, H), jnp.float32)
+        scratch = [pltpu.VMEM((B, H), jnp.float32)]
+        hs_bytes = B * T * H
+    h_last, second = pl.pallas_call(
+        body,
         grid=(T,),
         in_specs=[
             pl.BlockSpec((1, B, E), lambda t: (t, 0, 0),
@@ -121,25 +170,24 @@ def _pallas_gru_layer(
         ],
         out_specs=(
             pl.BlockSpec((B, H), lambda t: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, B, H), lambda t: (t, 0, 0),
-                         memory_space=pltpu.VMEM),
+            second_spec,
         ),
         out_shape=(
             jax.ShapeDtypeStruct((B, H), jnp.float32),
-            jax.ShapeDtypeStruct((T, B, H), jnp.float32),
+            second_shape,
         ),
-        scratch_shapes=[
-            pltpu.VMEM((B, H), jnp.float32),
-        ],
+        scratch_shapes=scratch,
         cost_estimate=pl.CostEstimate(
             flops=2 * T * B * 3 * H * (E + H),
-            bytes_accessed=4 * (B * T * E + (E + H) * 3 * H + B * T * H),
+            bytes_accessed=4 * (B * T * E + (E + H) * 3 * H + hs_bytes),
             transcendentals=3 * T * B * H,
         ),
         interpret=interpret,
     )(x_tm, lengths.astype(jnp.int32).reshape(B, 1), w_ih, w_hh,
       b_ih.reshape(1, -1), b_hh.reshape(1, -1))
-    return h_last, jnp.swapaxes(hs_tm, 0, 1)
+    if pool:
+        return h_last, second
+    return h_last, jnp.swapaxes(second, 0, 1)
 
 
 def pallas_gru(
@@ -149,11 +197,16 @@ def pallas_gru(
     compute_dtype=jnp.float32,
     interpret: bool = None,
     weights_dtype=jnp.bfloat16,
+    pool: str = "none",
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Drop-in twin of ops.lstm.gru_forward (multi-layer chains kernels).
 
     ``weights_dtype`` controls the VMEM-resident weight precision (bf16
     default; pass float32 for bit-parity testing at small H).
+
+    ``pool="mean"`` runs the fused-pool kernel on the LAST layer (see
+    pallas_lstm): second return value is the length-masked mean [B, H];
+    the [B, T, H] tensor never materializes in HBM.
 
     Batches too large for the VMEM budget run in batch chunks (identical
     results — the kernel is batch-independent); the lax.scan twin is the
@@ -178,9 +231,12 @@ def pallas_gru(
 
     chunk = batch_chunk(B, fits)
     if chunk is None:
-        from vfr_tpu.ops.lstm import gru_forward
+        from vfr_tpu.ops.lstm import gru_forward, masked_mean_pool
 
-        return gru_forward(params, x, lengths, compute_dtype)
+        h_last, hs = gru_forward(params, x, lengths, compute_dtype)
+        if pool == "mean":
+            return h_last, masked_mean_pool(hs, lengths)
+        return h_last, hs
 
     def run(xc, lc):
         hs = xc
@@ -190,6 +246,7 @@ def pallas_gru(
             h_last, hs = _pallas_gru_layer(
                 hs, lc, p["w_ih"], p["w_hh"], p["b_ih"], p["b_hh"],
                 compute_dtype, interpret, weights_dtype=weights_dtype,
+                pool=(pool == "mean" and layer == len(params) - 1),
             )
         return h_last, hs
 

@@ -23,17 +23,12 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _kernel(x_ref, len_ref, wih_ref, whh_ref, b_ref, hlast_ref, hs_ref,
-            h_scr, c_scr, *, compute_dtype):
-    t = pl.program_id(0)
-    T = pl.num_programs(0)
+def _step(x_ref, len_ref, wih_ref, whh_ref, b_ref, h_scr, c_scr, t):
+    """One LSTM step: gate GEMMs on the MXU, nonlinearities on the VPU,
+    frozen-carry update of the VMEM scratch state.  Returns ``live`` so
+    callers can feed the pooled accumulator.  Shared by the hs-emitting and
+    the fused-pool kernel bodies — ONE definition of the cell math."""
     H = h_scr.shape[1]
-
-    @pl.when(t == 0)
-    def _():
-        h_scr[:] = jnp.zeros_like(h_scr)
-        c_scr[:] = jnp.zeros_like(c_scr)
-
     x_t = x_ref[0]                                         # [B, E] (time-major)
     w_dt = wih_ref.dtype                                   # weights as stored
     gates = (
@@ -59,11 +54,53 @@ def _kernel(x_ref, len_ref, wih_ref, whh_ref, b_ref, hlast_ref, hs_ref,
     live = t < len_ref[:]                                  # [B, 1]
     h_scr[:] = jnp.where(live, h_new, h_scr[:])
     c_scr[:] = jnp.where(live, c_new, c_scr[:])
+    return live
+
+
+def _kernel(x_ref, len_ref, wih_ref, whh_ref, b_ref, hlast_ref, hs_ref,
+            h_scr, c_scr, *, compute_dtype):
+    t = pl.program_id(0)
+    T = pl.num_programs(0)
+
+    @pl.when(t == 0)
+    def _():
+        h_scr[:] = jnp.zeros_like(h_scr)
+        c_scr[:] = jnp.zeros_like(c_scr)
+
+    _step(x_ref, len_ref, wih_ref, whh_ref, b_ref, h_scr, c_scr, t)
     hs_ref[0] = h_scr[:]
 
     @pl.when(t == T - 1)
     def _():
         hlast_ref[:] = h_scr[:]
+
+
+def _kernel_pooled(x_ref, len_ref, wih_ref, whh_ref, b_ref, hlast_ref,
+                   pooled_ref, h_scr, c_scr, sum_scr, *, compute_dtype):
+    """Fused length-masked mean pooling: instead of streaming every [B, H]
+    step block to HBM (and re-reading the [B, T, H] tensor for the masked
+    mean downstream), accumulate the live-step sum in a VMEM scratch and
+    emit the pooled [B, H] directly — 2*T*B*H*4 bytes of HBM traffic gone.
+    Semantics == ops.lstm.masked_mean_pool(scan hs) (parity-tested)."""
+    t = pl.program_id(0)
+    T = pl.num_programs(0)
+
+    @pl.when(t == 0)
+    def _():
+        h_scr[:] = jnp.zeros_like(h_scr)
+        c_scr[:] = jnp.zeros_like(c_scr)
+        sum_scr[:] = jnp.zeros_like(sum_scr)
+
+    live = _step(x_ref, len_ref, wih_ref, whh_ref, b_ref, h_scr, c_scr, t)
+    # h_scr now holds h_t for live rows and the frozen carry otherwise;
+    # only live steps contribute to the mean.
+    sum_scr[:] = sum_scr[:] + jnp.where(live, h_scr[:], 0.0)
+
+    @pl.when(t == T - 1)
+    def _():
+        hlast_ref[:] = h_scr[:]
+        pooled_ref[:] = sum_scr[:] / jnp.maximum(
+            len_ref[:].astype(jnp.float32), 1.0)
 
 
 def pallas_lstm_fits_vmem(
@@ -93,7 +130,10 @@ def _pallas_lstm_layer(
     compute_dtype,
     interpret: bool,
     weights_dtype=jnp.bfloat16,
+    pool: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Returns (h_last [B, H], hs [B, T, H]) — or, with ``pool=True``, the
+    fused-pool kernel's (h_last [B, H], pooled [B, H])."""
     B, T, E = x.shape
     H = w_hh.shape[0]
     # Weights are cast once on the host side and stay VMEM-resident in that
@@ -102,8 +142,22 @@ def _pallas_lstm_layer(
     w_ih = w_ih.astype(weights_dtype)
     w_hh = w_hh.astype(weights_dtype)
     x_tm = jnp.swapaxes(x, 0, 1)                 # [T, B, E] time-major
-    h_last, hs_tm = pl.pallas_call(
-        functools.partial(_kernel, compute_dtype=compute_dtype),
+    if pool:
+        body = functools.partial(_kernel_pooled, compute_dtype=compute_dtype)
+        second_spec = pl.BlockSpec((B, H), lambda t: (0, 0),
+                                   memory_space=pltpu.VMEM)
+        second_shape = jax.ShapeDtypeStruct((B, H), jnp.float32)
+        scratch = [pltpu.VMEM((B, H), jnp.float32) for _ in range(3)]
+        hs_bytes = 0                         # pooled output is T-independent
+    else:
+        body = functools.partial(_kernel, compute_dtype=compute_dtype)
+        second_spec = pl.BlockSpec((1, B, H), lambda t: (t, 0, 0),
+                                   memory_space=pltpu.VMEM)
+        second_shape = jax.ShapeDtypeStruct((T, B, H), jnp.float32)
+        scratch = [pltpu.VMEM((B, H), jnp.float32) for _ in range(2)]
+        hs_bytes = B * T * H
+    h_last, second = pl.pallas_call(
+        body,
         grid=(T,),
         in_specs=[
             pl.BlockSpec((1, B, E), lambda t: (t, 0, 0),
@@ -119,26 +173,24 @@ def _pallas_lstm_layer(
         ],
         out_specs=(
             pl.BlockSpec((B, H), lambda t: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, B, H), lambda t: (t, 0, 0),
-                         memory_space=pltpu.VMEM),
+            second_spec,
         ),
         out_shape=(
             jax.ShapeDtypeStruct((B, H), jnp.float32),
-            jax.ShapeDtypeStruct((T, B, H), jnp.float32),
+            second_shape,
         ),
-        scratch_shapes=[
-            pltpu.VMEM((B, H), jnp.float32),
-            pltpu.VMEM((B, H), jnp.float32),
-        ],
+        scratch_shapes=scratch,
         cost_estimate=pl.CostEstimate(
             flops=2 * T * B * 4 * H * (E + H),
-            bytes_accessed=4 * (B * T * E + (E + H) * 4 * H + B * T * H),
+            bytes_accessed=4 * (B * T * E + (E + H) * 4 * H + hs_bytes),
             transcendentals=5 * T * B * H,
         ),
         interpret=interpret,
     )(x_tm, lengths.astype(jnp.int32).reshape(B, 1), w_ih, w_hh,
       b.reshape(1, -1))
-    return h_last, jnp.swapaxes(hs_tm, 0, 1)
+    if pool:
+        return h_last, second
+    return h_last, jnp.swapaxes(second, 0, 1)
 
 
 def pallas_lstm(
@@ -148,12 +200,20 @@ def pallas_lstm(
     compute_dtype=jnp.float32,
     interpret: bool = None,
     weights_dtype=jnp.bfloat16,
+    pool: str = "none",
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Drop-in twin of ops.lstm.lstm_forward (multi-layer chains kernels).
 
     ``weights_dtype`` controls the VMEM-resident weight precision (bf16
     default — required to fit H=1024 in VMEM; pass float32 for bit-parity
     testing at small H).
+
+    ``pool="mean"`` runs the fused-pool kernel on the LAST layer: the
+    length-masked mean accumulates in VMEM scratch and the second return
+    value is the pooled [B, H] — the [B, T, H] hidden-state tensor is
+    never materialized in HBM (the serving win for
+    ModelConfig.query_pool="mean"; parity vs masked_mean_pool(scan hs)
+    in tests/test_pallas_pooled.py).
 
     Batches too large for the VMEM budget are processed in batch CHUNKS
     (the kernel is batch-independent, so results are identical); only if
@@ -178,9 +238,12 @@ def pallas_lstm(
 
     chunk = batch_chunk(B, fits)
     if chunk is None:
-        from vfr_tpu.ops.lstm import lstm_forward
+        from vfr_tpu.ops.lstm import lstm_forward, masked_mean_pool
 
-        return lstm_forward(params, x, lengths, compute_dtype)
+        h_last, hs = lstm_forward(params, x, lengths, compute_dtype)
+        if pool == "mean":
+            return h_last, masked_mean_pool(hs, lengths)
+        return h_last, hs
 
     def run(xc, lc):
         hs = xc
@@ -190,6 +253,7 @@ def pallas_lstm(
             h_last, hs = _pallas_lstm_layer(
                 hs, lc, p["w_ih"], p["w_hh"], p["b"], compute_dtype,
                 interpret, weights_dtype=weights_dtype,
+                pool=(pool == "mean" and layer == len(params) - 1),
             )
         return h_last, hs
 
