@@ -191,6 +191,16 @@ def build_parser() -> argparse.ArgumentParser:
                         "in artifacts/serve_latency.json); isolated "
                         "latency is unaffected. One program compile per "
                         "distinct value.")
+    s.add_argument("--length-buckets", default=None,
+                   help="batch mode only: group queries by token length "
+                        "and run each group with the sequence axis sliced "
+                        "to its bucket — the encode recurrence pays the "
+                        "bucket's T, not max_query_len. 'auto' = "
+                        "multiples of 8 up to max_query_len, or an "
+                        "explicit list '8,16'. Results are bit-identical "
+                        "to unbucketed serving (sliced steps are "
+                        "frozen-carry no-ops); cost is one compiled "
+                        "specialization per distinct (batch-count, T).")
 
     ix = sub.add_parser("index", help="build and save the cached "
                         "moment-embedding index for fast serving startup")
@@ -481,6 +491,7 @@ def main(argv=None) -> int:
             approx_recall=cfg.eval.approx_recall,
             index_dtype=cfg.eval.index_dtype,
             index=index,
+            length_buckets=args.length_buckets,
             **coarse_kw,
         ):
             print(json.dumps(rec))

@@ -769,6 +769,24 @@ def corpus_retrieval(
     return np.asarray(d), np.asarray(rows)
 
 
+def resolve_length_buckets(spec, max_query_len: int):
+    """Parse a length-bucket spec into a sorted tuple capped/terminated at
+    ``max_query_len``.  ``spec``: None/"" -> None (bucketing off); "auto"
+    -> multiples of 8 up to max_query_len; "8,16" or an int sequence ->
+    as given (max_query_len appended if absent so every query routes)."""
+    if spec in (None, "", False):
+        return None
+    if spec == "auto":
+        bs = list(range(8, max_query_len, 8))
+    elif isinstance(spec, str):
+        bs = [int(s) for s in spec.split(",") if s.strip()]
+    else:
+        bs = [int(b) for b in spec]
+    bs = sorted({b for b in bs if 0 < b < max_query_len})
+    bs.append(max_query_len)
+    return tuple(bs)
+
+
 def serve_queries(
     params, model: Model, dataset, vocab, queries, k: int = 10,
     mesh: Optional[jax.sharding.Mesh] = None, batch_size: int = 128,
@@ -778,6 +796,7 @@ def serve_queries(
     index: Optional[MomentIndex] = None,
     coarse=None, coarse_dim: int = 0, coarse_candidates: int = 2048,
     coarse_mode: str = "blockmax",
+    length_buckets=None,
 ):
     """Large-scale serving (BASELINE.json:11): answer free-text queries
     against the cached moment index; returns a list of
@@ -791,7 +810,15 @@ def serve_queries(
     PCA prefilter in-process) routes retrieval through the two-stage
     coarse-to-fine path (eval/coarse.py) — for corpora past ~1M rows
     where streaming the full index per batch is the wall.  Single-device
-    only (the sharded retriever already splits the stream over ICI)."""
+    only (the sharded retriever already splits the stream over ICI).
+
+    ``length_buckets`` (see resolve_length_buckets): queries are grouped
+    by token length and each group's batches run with the sequence axis
+    sliced to its bucket — the encode recurrence pays the bucket's T, not
+    max_query_len.  Results are BIT-IDENTICAL to the unbucketed path (the
+    sliced steps are frozen-carry no-ops for every row in the bucket;
+    encode/score/top-k are all row-independent); the cost is one extra
+    compiled specialization per distinct (batch-count, T) shape."""
     from vfr_tpu.data.glove import tokenize
 
     if len(queries) == 0:
@@ -813,96 +840,133 @@ def serve_queries(
 
         coarse = build_coarse_index(index, d_coarse=coarse_dim)
     video_ids = dataset.video_ids
-
-    # tokenize the whole stream into fixed [M, Q, T] blocks
-    M = -(-len(queries) // batch_size)
-    toks_all = np.zeros((M, batch_size, max_query_len), np.int32)
-    lens_all = np.ones((M, batch_size), np.int32)
-    for j, text in enumerate(queries):
-        b, i = divmod(j, batch_size)
-        toks_all[b, i], lens_all[b, i] = vocab.encode(
-            tokenize(text), max_query_len)
-
     k_eff = min(k, index.num_rows)
-    if coarse is not None:
-        from vfr_tpu.eval.coarse import (
-            make_coarse_retriever,
-            make_coarse_stream_retriever,
-            make_sharded_coarse_retriever,
-        )
 
-        if mesh is not None:
-            retrieve = make_sharded_coarse_retriever(
-                model, coarse, k_eff, mesh,
-                num_candidates=coarse_candidates,
-                approx_recall=approx_recall, mode=coarse_mode)
-            d_list, r_list = [], []
-            for b in range(M):
-                d, r = retrieve(params, jnp.asarray(toks_all[b]),
-                                jnp.asarray(lens_all[b]))
-                d_list.append(np.asarray(d))
-                r_list.append(np.asarray(r))
-            d_all, rows_all = np.stack(d_list), np.stack(r_list)
-        elif M > 1:
-            retrieve_stream = make_coarse_stream_retriever(
-                model, coarse, k_eff, num_candidates=coarse_candidates,
-                approx_recall=approx_recall, mode=coarse_mode)
-            d_all, rows_all = retrieve_stream(
-                params, jnp.asarray(toks_all), jnp.asarray(lens_all))
-            d_all, rows_all = np.asarray(d_all), np.asarray(rows_all)
-        else:
-            retrieve = make_coarse_retriever(
-                model, coarse, k_eff, num_candidates=coarse_candidates,
-                approx_recall=approx_recall, mode=coarse_mode)
-            d, r = retrieve(params, jnp.asarray(toks_all[0]),
-                            jnp.asarray(lens_all[0]))
-            d_all, rows_all = np.asarray(d)[None], np.asarray(r)[None]
-        k_eff = min(k_eff, d_all.shape[-1])
-    elif mesh is None and M > 1 and topk_method != "fused":
-        # many batches -> ONE dispatch: the lax.scan stream retriever
-        # amortizes program-launch + index-prep overhead (~8 ms/dispatch
-        # on this runtime) across all batches.  ("fused" selects the
-        # Pallas single-dispatch kernel, which only make_retriever wires.)
-        retrieve_stream = make_stream_retriever(
-            model, index, k_eff, topk_method=topk_method,
-            approx_recall=approx_recall)
-        # the retriever holds its own one-matmul copy of the index; drop
-        # the per-stream rows (if we built them) so serving peaks at ~1x,
-        # not ~3x, the index footprint (video_row/spans_sec stay for
-        # result mapping; a caller-owned index is left untouched)
-        if owns_index:
-            index.m, index.m_sq = None, None
-        d_all, rows_all = retrieve_stream(
-            params, jnp.asarray(toks_all), jnp.asarray(lens_all))
-        d_all, rows_all = np.asarray(d_all), np.asarray(rows_all)
-    else:
-        retrieve = make_retriever(model, index, k_eff, mesh=mesh,
-                                  topk_method=topk_method,
-                                  approx_recall=approx_recall)
+    # Retrieval machinery is created LAZILY, ONCE, and reused across every
+    # dispatch — jit re-specializes per (M, T) block shape, so the bucketed
+    # path rides the same factories (and the one-matmul operands are
+    # device_put exactly once either way).
+    state = {}
+
+    def dispatch(toks_all, lens_all):
+        """[M, Q, T] blocks -> (d_all [M, Q, k'], rows_all [M, Q, k'])."""
+        M = toks_all.shape[0]
+        if coarse is not None:
+            from vfr_tpu.eval.coarse import (
+                make_coarse_stream_retriever,
+                make_sharded_coarse_retriever,
+            )
+
+            if mesh is not None:
+                r = state.get("coarse_sharded")
+                if r is None:
+                    r = state["coarse_sharded"] = \
+                        make_sharded_coarse_retriever(
+                            model, coarse, k_eff, mesh,
+                            num_candidates=coarse_candidates,
+                            approx_recall=approx_recall, mode=coarse_mode)
+                d_list, r_list = [], []
+                for b in range(M):
+                    d, rw = r(params, jnp.asarray(toks_all[b]),
+                              jnp.asarray(lens_all[b]))
+                    d_list.append(np.asarray(d))
+                    r_list.append(np.asarray(rw))
+                return np.stack(d_list), np.stack(r_list)
+            r = state.get("coarse_stream")
+            if r is None:
+                r = state["coarse_stream"] = make_coarse_stream_retriever(
+                    model, coarse, k_eff, num_candidates=coarse_candidates,
+                    approx_recall=approx_recall, mode=coarse_mode)
+            d_all, rows_all = r(params, jnp.asarray(toks_all),
+                                jnp.asarray(lens_all))
+            return np.asarray(d_all), np.asarray(rows_all)
+        if mesh is None and topk_method != "fused":
+            # the lax.scan stream retriever amortizes program-launch +
+            # index-prep overhead (~8 ms/dispatch on this runtime) across
+            # all batches; for M == 1 it is the same program as a single
+            # dispatch modulo a length-1 scan.  ("fused" selects the
+            # Pallas single-dispatch kernel, which only make_retriever
+            # wires.)
+            r = state.get("stream")
+            if r is None:
+                r = state["stream"] = make_stream_retriever(
+                    model, index, k_eff, topk_method=topk_method,
+                    approx_recall=approx_recall)
+                # the retriever holds its own one-matmul copy of the
+                # index; drop the per-stream rows (if we built them) so
+                # serving peaks at ~1x, not ~3x, the index footprint
+                # (video_row/spans_sec stay for result mapping; a
+                # caller-owned index is left untouched)
+                if owns_index:
+                    index.m, index.m_sq = None, None
+            d_all, rows_all = r(params, jnp.asarray(toks_all),
+                                jnp.asarray(lens_all))
+            return np.asarray(d_all), np.asarray(rows_all)
+        r = state.get("single")
+        if r is None:
+            r = state["single"] = make_retriever(
+                model, index, k_eff, mesh=mesh, topk_method=topk_method,
+                approx_recall=approx_recall)
         d_list, r_list = [], []
         for b in range(M):
-            d, r = retrieve(params, jnp.asarray(toks_all[b]),
-                            jnp.asarray(lens_all[b]))
+            d, rw = r(params, jnp.asarray(toks_all[b]),
+                      jnp.asarray(lens_all[b]))
             d_list.append(np.asarray(d))
-            r_list.append(np.asarray(r))
-        d_all, rows_all = np.stack(d_list), np.stack(r_list)
+            r_list.append(np.asarray(rw))
+        return np.stack(d_list), np.stack(r_list)
+
+    # tokenize each query ONCE at full length; bucketed dispatches slice
+    # the token axis (steps past every row's length are frozen-carry
+    # no-ops, so slicing them off is bit-exact)
+    Nq = len(queries)
+    enc_toks = np.zeros((Nq, max_query_len), np.int32)
+    enc_lens = np.ones((Nq,), np.int32)
+    for j, text in enumerate(queries):
+        enc_toks[j], enc_lens[j] = vocab.encode(tokenize(text),
+                                                max_query_len)
+
+    buckets = resolve_length_buckets(length_buckets, max_query_len)
+    if buckets is None:
+        groups = [(max_query_len, list(range(Nq)))]
+    else:
+        groups = []
+        taken = np.zeros(Nq, bool)
+        for T_b in buckets:
+            idxs = [j for j in range(Nq)
+                    if not taken[j] and enc_lens[j] <= T_b]
+            taken[idxs] = True
+            groups.append((T_b, idxs))
+
+    qd = [None] * Nq
+    qr = [None] * Nq
+    for T_b, idxs in groups:
+        if not idxs:
+            continue
+        Mb = -(-len(idxs) // batch_size)
+        toks = np.zeros((Mb, batch_size, T_b), np.int32)
+        lens = np.ones((Mb, batch_size), np.int32)
+        for pos, j in enumerate(idxs):
+            b, i = divmod(pos, batch_size)
+            toks[b, i] = enc_toks[j, :T_b]
+            lens[b, i] = enc_lens[j]
+        d_all, rows_all = dispatch(toks, lens)
+        flat_d = d_all.reshape(-1, d_all.shape[-1])[: len(idxs)]
+        flat_r = rows_all.reshape(-1, rows_all.shape[-1])[: len(idxs)]
+        for pos, j in enumerate(idxs):
+            qd[j], qr[j] = flat_d[pos], flat_r[pos]
 
     out = []
-    for start in range(0, len(queries), batch_size):
-        chunk = queries[start : start + batch_size]
-        b = start // batch_size
-        d, rows = d_all[b], rows_all[b]
-        for i, text in enumerate(chunk):
-            results = [
-                {
-                    "video": video_ids[int(index.video_row[r])],
-                    "start": float(index.spans_sec[r, 0]),
-                    "end": float(index.spans_sec[r, 1]),
-                    "distance": float(d[i, j]),
-                }
-                for j, r in enumerate(rows[i])
-            ]
-            out.append({"query": text, "results": results})
+    for j, text in enumerate(queries):
+        results = [
+            {
+                "video": video_ids[int(index.video_row[r])],
+                "start": float(index.spans_sec[r, 0]),
+                "end": float(index.spans_sec[r, 1]),
+                "distance": float(qd[j][jj]),
+            }
+            for jj, r in enumerate(qr[j])
+        ]
+        out.append({"query": text, "results": results})
     return out
 
 
