@@ -142,6 +142,17 @@ def test_cli_flagship_surface_from_real_layout(tmp_path, capsys,
     dists = [h["distance"] for h in results[0]["results"]]
     assert dists == sorted(dists)
 
+    # length-bucketed serving composes with the flagship surface (--best
+    # weights, loaded cosine index) and stays BIT-identical (DESIGN 43)
+    rc = main(["serve", "--preset", "didemo_flagship", *common, "--best",
+               "--index-path", idx, "--queries", str(qfile), "--topk", "3",
+               "--length-buckets", "auto"])
+    assert rc == 0
+    out_b = capsys.readouterr().out
+    results_b = [json.loads(l) for l in out_b.splitlines()
+                 if l.startswith("{")]
+    assert results_b == results
+
     # live lifecycle on the flagship model: answer, grow, snapshot...
     rng = np.random.default_rng(7)
     delta = tmp_path / "delta.npz"
