@@ -49,6 +49,9 @@ BUCKETS = (8, 16, 24)
 
 
 def main():
+    global Q
+    if len(sys.argv) > 1:
+        Q = int(sys.argv[1])
     cfg = get_preset("didemo_flagship")
     cfg = dataclasses.replace(
         cfg, model=dataclasses.replace(cfg.model, compute_dtype="bfloat16"))
@@ -111,8 +114,9 @@ def main():
         out["batch_ms_T24"] / out["uniform_4_24_ms"], 4)
     out["short_speedup_vs_T24"] = round(
         out["batch_ms_T24"] / out["batch_ms_T8"], 4)
+    suffix = "" if Q == 128 else f"_q{Q}"
     path = pathlib.Path(__file__).resolve().parents[1] / "artifacts" / \
-        "length_buckets.json"
+        f"length_buckets{suffix}.json"
     path.write_text(json.dumps(out, indent=1))
     print(json.dumps(out))
 
